@@ -1,38 +1,52 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship: full pyramid build over the synthetic page
+                 corpus at sf0.001 scale (geotag -> encode -> rollup).
+queries()      — one entry per implemented operator (SURVEY.md §2).
+oracle_sql()   — DuckDB-equivalent SQL per query (same parquet views +
+                 the deterministic pages CTE, byte-identical in both
+                 engines — tests/test_corpus.py proves it).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from vt_grid_spark.queries import QUERIES, ORACLES  # noqa: E402
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: geotag the page corpus, build the full tile pyramid
+    (base cell zoom 12 -> 4), return the unioned levels."""
+    from pyspark.sql import functions as F
+
+    from vt_grid_spark.operators.pyramid import build_pyramid_df
+    from vt_grid_spark.plans.aggspec import AggSpec
+    from vt_grid_spark.plans.pyramid_plan import PyramidPlan, ZoomBand
+    from vt_grid_spark.sources import pages
+
+    pts = pages.with_coords(pages.pages_df(spark, 5_000))
+    pts = pts.withColumn("v", F.length("text").cast("double"))
+    plan = PyramidPlan(
+        bands=[ZoomBand(basezoom=11, minzoom=3,
+                        aggregations=[
+                            AggSpec(out="cnt", reducer="count"),
+                            AggSpec(out="sum_v", reducer="sum", field="v"),
+                        ])],
+        gridsize=16, salt_buckets=8,
+    )
+    return build_pyramid_df(pts, plan)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -1,0 +1,106 @@
+"""Pyramid rollup: the reference's parent == Σ(children) invariant
+(/root/reference/test/lib/aggregate-cells.js:28-56) at every level, plus
+checkpoint/resume behavior."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from vt_grid_spark.operators.pyramid import build_pyramid, build_pyramid_df
+from vt_grid_spark.plans.aggspec import AggSpec, finalize_columns
+from vt_grid_spark.plans.pyramid_plan import PyramidPlan, ZoomBand
+from vt_grid_spark.sources import pages
+from vt_grid_spark.sources.table_io import TableIO
+
+SPECS = [
+    AggSpec(out="cnt", reducer="count"),
+    AggSpec(out="sum_v", reducer="sum", field="v"),
+    AggSpec(out="mean_v", reducer="mean", field="v"),
+    AggSpec(out="min_v", reducer="min", field="v"),
+    AggSpec(out="max_v", reducer="max", field="v"),
+    AggSpec(out="langs", reducer="union", field="lang"),
+]
+
+
+def _points(spark, n=4000):
+    df = pages.with_coords(pages.pages_df(spark, n))
+    return df.withColumn("v", (F.length("url") % 17).cast("double"))
+
+
+def test_parent_equals_sum_of_children(spark):
+    plan = PyramidPlan(bands=[ZoomBand(basezoom=9, minzoom=4, aggregations=SPECS)],
+                       gridsize=16, salt_buckets=4)
+    levels = build_pyramid_df(_points(spark), plan).cache()
+    zooms = sorted({r.zoom for r in levels.select("zoom").distinct().collect()})
+    assert zooms == list(range(6, 11))  # cell zooms: base 8+2=10 down to 4+2=6
+
+    for child_z in zooms[1:]:
+        kids = (
+            levels.where(F.col("zoom") == child_z)
+            .groupBy(F.shiftright("x", 1).alias("x"), F.shiftright("y", 1).alias("y"))
+            .agg(F.sum("cnt").alias("k_cnt"), F.sum("sum_v").alias("k_sum"),
+                 F.min("min_v").alias("k_min"), F.max("max_v").alias("k_max"))
+        )
+        parents = levels.where(F.col("zoom") == child_z - 1)
+        joined = parents.join(kids, ["x", "y"], "full").collect()
+        for r in joined:
+            assert r.cnt == r.k_cnt, r
+            assert abs(r.sum_v - r.k_sum) < 1e-6
+            assert r.min_v == r.k_min and r.max_v == r.k_max
+    levels.unpersist()
+
+
+def test_quadkey_prefix_parenthood(spark):
+    plan = PyramidPlan(bands=[ZoomBand(basezoom=9, minzoom=7, aggregations=SPECS[:2])],
+                       gridsize=16)
+    levels = build_pyramid_df(_points(spark, 1500), plan).cache()
+    child = {(r.x, r.y): r.quadkey for r in levels.where("zoom = 10").collect()}
+    parent = {(r.x, r.y): r.quadkey for r in levels.where("zoom = 9").collect()}
+    assert child and parent
+    for (x, y), qk in child.items():
+        assert len(qk) == 10
+        assert parent[(x >> 1, y >> 1)] == qk[:-1]
+    levels.unpersist()
+
+
+def test_union_and_mean_semantics(spark):
+    plan = PyramidPlan(bands=[ZoomBand(basezoom=6, minzoom=3, aggregations=SPECS)],
+                       gridsize=4, salt_buckets=4)
+    levels = build_pyramid_df(_points(spark, 3000), plan)
+    top = levels.where(F.col("zoom") == 4)
+    fin = finalize_columns(SPECS)
+    top = top.withColumn("mean_v", fin["mean_v"]).collect()
+    for r in top:
+        assert r.langs == sorted(set(r.langs))  # sorted, distinct (g4)
+        assert r.min_v <= r.mean_v <= r.max_v
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    io = TableIO(str(tmp_path / "pyr"))
+    plan = PyramidPlan(bands=[ZoomBand(basezoom=8, minzoom=5, aggregations=SPECS[:2])],
+                       gridsize=16)
+    pts = _points(spark, 1500)
+    m1 = build_pyramid(pts, plan, io)
+    assert sorted(m1) == [7, 8, 9]  # cell zooms for output 7,6,5 at gridsize 16
+    for z, man in m1.items():
+        assert man["status"] == "complete"
+        assert man["row_count"] > 0
+        assert man["files"]  # per-partition row counts (north_rule lineage)
+
+    # simulate a kill after the base level: wipe upper-level manifests
+    for z in (8, 7):
+        os.remove(io.manifest_path(z))
+    m2 = build_pyramid(pts, plan, io)
+    assert m2[9]["completed_at"] == m1[9]["completed_at"]  # base level skipped
+    assert m2[8]["completed_at"] != m1[8]["completed_at"]  # re-run
+    assert m2[8]["row_count"] == m1[8]["row_count"]
+    assert m2[7]["row_count"] == m1[7]["row_count"]
+
+    # written levels agree with the in-memory path
+    mem = build_pyramid_df(pts, plan)
+    for z in (9, 8, 7):
+        disk = io.read_level(spark, z)
+        a = {(r.x, r.y, r.cnt, r.sum_v) for r in disk.collect()}
+        b = {(r.x, r.y, r.cnt, r.sum_v)
+             for r in mem.where(F.col("zoom") == z).collect()}
+        assert a == b

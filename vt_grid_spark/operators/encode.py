@@ -1,0 +1,48 @@
+"""Point -> grid-cell encode: the Spark form of the reference's raw path
+for point features (/root/reference/lib/aggregate-cells.js:54-83 does this
+with a geojson-vt index per tile; for points it reduces to closed-form
+column math, SURVEY.md §2.3 G3).
+
+Everything is JVM-side Catalyst expressions — no UDF, stays inside
+whole-stage codegen, filters/projections push down to the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from vt_grid_spark import functions as vf
+
+
+def encode_points(df: DataFrame, z: int, lon: str = "lon", lat: str = "lat",
+                  with_quadkey: bool = True) -> DataFrame:
+    """Add (zoom, x, y[, quadkey]) cell columns for each point row.
+
+    Half-open cell intervals (floor of the fractional tile coordinate) make
+    the strict-interior degenerate filter a no-op for points — a point on a
+    shared edge belongs to exactly one cell (SURVEY.md §2.2 P1).
+    """
+    out = (
+        df.withColumn("zoom", F.lit(z))
+        .withColumn("x", vf.tile_x(F.col(lon), z))
+        .withColumn("y", vf.tile_y(F.col(lat), z))
+    )
+    if with_quadkey:
+        out = out.withColumn("quadkey", vf.quadkey(F.col("x"), F.col("y"), z))
+    return out
+
+
+def cell_aggregate(points: DataFrame, z: int, agg_exprs: list,
+                   extra_keys: list[str] | None = None) -> DataFrame:
+    """points (already encoded at zoom z) -> one row per occupied cell.
+
+    Sparse by design: empty cells are never materialized (the reference's
+    grid path emits dense 4^d cells, lib/aggregate-cells.js:39-47 — at web
+    scale that is 4^19 rows of nothing; a ``densify`` view reproduces dense
+    output for fixture parity, SURVEY.md §7 g3).
+    """
+    keys = ["zoom", "x", "y"] + (extra_keys or [])
+    if "quadkey" in points.columns:
+        keys.append("quadkey")
+    return points.groupBy(*keys).agg(*agg_exprs)

@@ -1,0 +1,93 @@
+"""Pyramid driver: the reference's per-level recursion
+(/root/reference/index.js:94-162) as a checkpointed Spark loop.
+
+Each output level is one shuffle stage (groupBy on the integer parent
+key); every level is written to a ``zoom=<z>`` partition with a manifest,
+and the next level reads the previous level's *written* data — which is
+exactly the reference's behavior of feeding each level's mbtiles into the
+next (index.js:151-159) and doubles as the resume point.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vt_grid_spark.operators.encode import cell_aggregate, encode_points
+from vt_grid_spark.operators.rollup import rollup_level
+from vt_grid_spark.plans.aggspec import compile_aggs
+from vt_grid_spark.plans.pyramid_plan import PyramidPlan
+from vt_grid_spark.sources.table_io import TableIO
+from vt_grid_spark.tilemath import grid_zoom
+
+
+def build_pyramid(points: DataFrame, plan: PyramidPlan, io: TableIO,
+                  resume: bool = True, repartition: int | None = None) -> dict:
+    """points(lon, lat, value columns) -> one written level per output zoom.
+
+    Levels are keyed by CELL zoom (output tile zoom + log4(gridsize)), so
+    level z's cells are exactly the direct parents of level z+1's cells
+    and each rollup is `groupBy(x>>1, y>>1)` — the quadkey-prefix
+    invariant (SURVEY.md §2.3 G2).
+
+    Returns {cell_zoom: manifest}.
+    """
+    spark = points.sparkSession
+    manifests: dict[int, dict] = {}
+
+    levels = list(plan.levels())  # [(output_z, cell_z, band)] desc
+    base_output_z, base_cell_z, base_band = levels[0]
+
+    # --- base level: encode + first aggregation -----------------------------
+    if resume and io.level_complete(base_cell_z):
+        manifests[base_cell_z] = io.read_manifest(base_cell_z)
+    else:
+        encoded = encode_points(points, base_cell_z)
+        if repartition:
+            encoded = encoded.repartition(repartition, "x", "y")
+        base = cell_aggregate(encoded, base_cell_z, compile_aggs(base_band.aggregations))
+        manifests[base_cell_z] = io.write_level(
+            base, base_cell_z,
+            lineage={"input": "points", "op": "encode+aggregate",
+                     "output_tile_zoom": base_output_z},
+        )
+
+    # --- rollup levels -------------------------------------------------------
+    prev_cell_z = base_cell_z
+    for output_z, cell_z, band in levels[1:]:
+        assert cell_z == prev_cell_z - 1
+        if resume and io.level_complete(cell_z):
+            manifests[cell_z] = io.read_manifest(cell_z)
+        else:
+            children = io.read_level(spark, prev_cell_z)
+            level = rollup_level(children, prev_cell_z, band.aggregations,
+                                 salt_buckets=plan.salt_buckets)
+            manifests[cell_z] = io.write_level(
+                level, cell_z,
+                lineage={"input": f"zoom={prev_cell_z}", "op": "rollup",
+                         "output_tile_zoom": output_z},
+            )
+        prev_cell_z = cell_z
+
+    return manifests
+
+
+def build_pyramid_df(points: DataFrame, plan: PyramidPlan) -> DataFrame:
+    """In-memory variant (no checkpointing): union of all levels as one
+    DataFrame — used by tests and the DuckDB-oracle queries where writing
+    to disk is unnecessary."""
+    levels = list(plan.levels())
+    _, base_cell_z, base_band = levels[0]
+    encoded = encode_points(points, base_cell_z)
+    cur = cell_aggregate(encoded, base_cell_z, compile_aggs(base_band.aggregations))
+    out = [cur]
+    prev_cell_z = base_cell_z
+    for _, cell_z, band in levels[1:]:
+        cur = rollup_level(cur, prev_cell_z, band.aggregations,
+                           salt_buckets=plan.salt_buckets)
+        out.append(cur)
+        prev_cell_z = cell_z
+    result = out[0]
+    for lvl in out[1:]:
+        result = result.unionByName(lvl)
+    return result

@@ -1,0 +1,139 @@
+"""Aggregation spec -> Catalyst aggregate expressions.
+
+The reference configures per-layer reducers by name
+(``{layer: {field: reducerName}}``, /root/reference/bin/vt-grid:30-44,
+resolved from geojson-polygon-aggregate at lib/aggregate.js:18-25) and
+applies them once per (cell, feature).  Here a spec compiles to a list of
+``F.agg`` expressions, and — crucially for the pyramid — each reducer knows
+its *rollup* form so level z-1 composes from level z's partials (the
+manual count→sum pattern of README.md:66-74, generalized):
+
+  count       -> base F.count(1)            rollup F.sum(cnt)
+  sum         -> F.sum(v)                   F.sum(sum_v)
+  min/max     -> F.min/max(v)               F.min/max
+  mean        -> partials (cnt, sum)        summed partials, mean = sum/cnt
+  areaWeightedMean -> partials (w_sum, wv_sum)  summed partials (README.md:49-61)
+  areaWeightedSum  -> F.sum(w*v)            F.sum
+  totalArea   -> F.sum(w)                   F.sum
+  union       -> sorted collect_set         flatten+re-distinct (README.md:101,154)
+
+Custom reducers (reference lib/aggregate.js:26-36) are Python callables
+run via applyInPandas — see operators/custom_reduce.py.
+postAggregations (lib/aggregate-cells.js:96-101) are withColumn hooks
+applied after the agg.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+VALID_REDUCERS = {
+    "count", "sum", "min", "max", "mean",
+    "areaWeightedMean", "areaWeightedSum", "totalArea", "union",
+}
+
+
+@dataclass
+class AggSpec:
+    """One output field: reducer applied to an input field.
+
+    out       — output column name (stable across all pyramid levels)
+    reducer   — one of VALID_REDUCERS
+    field     — input column (ignored for count/totalArea)
+    weight    — weight column for area-weighted reducers (defaults to the
+                cell's spherical area at the base level; 1.0 for points)
+    """
+
+    out: str
+    reducer: str
+    field: str | None = None
+    weight: str | None = None
+
+    def __post_init__(self):
+        if self.reducer not in VALID_REDUCERS:
+            raise ValueError(
+                f"unknown reducer {self.reducer!r}; valid: {sorted(VALID_REDUCERS)}"
+                " (reference rejects unknown names the same way, bin/vt-grid:39-41)")
+
+
+@dataclass
+class CompiledAggs:
+    exprs: list[Column]
+    finalize: dict[str, Column] = field(default_factory=dict)
+    post: dict[str, Callable[[], Column]] = field(default_factory=dict)
+
+
+def _w(spec: AggSpec) -> Column:
+    return F.col(spec.weight) if spec.weight else F.lit(1.0)
+
+
+def compile_aggs(specs: list[AggSpec]) -> list[Column]:
+    """Base-level aggregate expressions (features -> cells).
+
+    Partial-friendly reducers (mean, areaWeightedMean) emit their partials
+    as ``<out>__cnt/<out>__sum/<out>__w/<out>__wv`` so every pyramid level
+    can recompute the final value AND keep composing upward.
+    """
+    out: list[Column] = []
+    for s in specs:
+        if s.reducer == "count":
+            out.append(F.count(F.lit(1)).alias(s.out))
+        elif s.reducer == "sum":
+            out.append(F.sum(s.field).alias(s.out))
+        elif s.reducer == "min":
+            out.append(F.min(s.field).alias(s.out))
+        elif s.reducer == "max":
+            out.append(F.max(s.field).alias(s.out))
+        elif s.reducer == "mean":
+            out.append(F.count(s.field).cast("double").alias(f"{s.out}__cnt"))
+            out.append(F.sum(s.field).alias(f"{s.out}__sum"))
+        elif s.reducer == "areaWeightedMean":
+            out.append(F.sum(_w(s)).alias(f"{s.out}__w"))
+            out.append(F.sum(_w(s) * F.col(s.field)).alias(f"{s.out}__wv"))
+        elif s.reducer == "areaWeightedSum":
+            out.append(F.sum(_w(s) * F.col(s.field)).alias(s.out))
+        elif s.reducer == "totalArea":
+            out.append(F.sum(_w(s)).alias(s.out))
+        elif s.reducer == "union":
+            out.append(F.array_sort(F.collect_set(s.field)).alias(s.out))
+    return out
+
+
+def compile_rollup_aggs(specs: list[AggSpec]) -> list[Column]:
+    """Level z -> z-1 aggregate expressions over the partial columns."""
+    out: list[Column] = []
+    for s in specs:
+        if s.reducer in ("count", "sum", "areaWeightedSum", "totalArea"):
+            out.append(F.sum(s.out).alias(s.out))
+        elif s.reducer == "min":
+            out.append(F.min(s.out).alias(s.out))
+        elif s.reducer == "max":
+            out.append(F.max(s.out).alias(s.out))
+        elif s.reducer == "mean":
+            out.append(F.sum(f"{s.out}__cnt").alias(f"{s.out}__cnt"))
+            out.append(F.sum(f"{s.out}__sum").alias(f"{s.out}__sum"))
+        elif s.reducer == "areaWeightedMean":
+            out.append(F.sum(f"{s.out}__w").alias(f"{s.out}__w"))
+            out.append(F.sum(f"{s.out}__wv").alias(f"{s.out}__wv"))
+        elif s.reducer == "union":
+            # children carry sorted arrays; flatten + re-distinct
+            out.append(
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list(s.out)))).alias(s.out)
+            )
+    return out
+
+
+def finalize_columns(specs: list[AggSpec]) -> dict[str, Column]:
+    """Presentation values derived from partials (applied per level when
+    exporting; partial columns stay in the table for the next rollup)."""
+    out: dict[str, Column] = {}
+    for s in specs:
+        if s.reducer == "mean":
+            out[s.out] = F.col(f"{s.out}__sum") / F.col(f"{s.out}__cnt")
+        elif s.reducer == "areaWeightedMean":
+            out[s.out] = F.col(f"{s.out}__wv") / F.col(f"{s.out}__w")
+    return out

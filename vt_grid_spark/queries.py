@@ -1,0 +1,299 @@
+"""Operator registry: every SURVEY.md §2 operator as a (spark, sf_dir) ->
+DataFrame callable plus its DuckDB oracle SQL.
+
+Oracle-parity rules (see SURVEY.md §7 g1/g8):
+  * aggregate inputs are integer-valued doubles (exact, order-independent
+    sums) or finals are rounded, so distributed summation order never
+    flips the value hash;
+  * cell ids are computed ONCE at the base zoom in both engines, ancestors
+    derived by bit-shift — no double-rounding divergence;
+  * every computed column is aliased identically in both engines.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vt_grid_spark import functions as vf
+from vt_grid_spark.functions import sqltext as sq
+from vt_grid_spark.sources import pages
+
+QUERIES: dict = {}
+ORACLES: dict = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _pts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = pages.n_for_sf_dir(sf_dir)
+    return pages.with_coords(pages.pages_df(spark, n))
+
+
+def _pts_sql(sf_dir_n: int) -> str:
+    return pages.with_coords_sql(pages.pages_cte_sql(sf_dir_n))
+
+
+# The oracle SQL must be a fixed string per sf (driver runs at sf0.01).
+_N = pages.N_FOR_SF["sf0.01"]
+_PAGES = _pts_sql(_N)
+
+
+# ---------------------------------------------------------------------------
+# G3/S2: point -> cell encode at base zoom (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cell_encode_z12",
+    f"""
+WITH pts AS ({_PAGES}),
+enc AS (
+  SELECT {sq.tile_x_sql('lon', 12)} AS x, {sq.tile_y_sql('lat', 12)} AS y,
+         length(text) AS chars
+  FROM pts
+)
+SELECT x, y, {sq.quadkey_sql('x', 'y', 12)} AS quadkey,
+       COUNT(*) AS cnt, CAST(SUM(chars) AS BIGINT) AS sum_chars
+FROM enc GROUP BY x, y
+""",
+)
+def cell_encode_z12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _pts(spark, sf_dir).withColumn("chars", F.length("text").cast("long"))
+    from vt_grid_spark.operators.encode import encode_points
+
+    enc = encode_points(pts, 12)
+    return (
+        enc.groupBy("x", "y", "quadkey")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("chars").alias("sum_chars"))
+        .select("x", "y", "quadkey", "cnt", "sum_chars")
+    )
+
+
+# ---------------------------------------------------------------------------
+# G2: pyramid rollup via repeated parent groupBy (SURVEY.md §2.3 G2)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pyramid_rollup_z6",
+    f"""
+WITH pts AS ({_PAGES}),
+enc AS (
+  SELECT {sq.tile_x_sql('lon', 12)} AS x12, {sq.tile_y_sql('lat', 12)} AS y12,
+         length(text) AS chars
+  FROM pts
+),
+up AS (SELECT x12 >> 6 AS x, y12 >> 6 AS y, chars FROM enc)
+SELECT x, y, {sq.quadkey_sql('x', 'y', 6)} AS quadkey,
+       COUNT(*) AS cnt, CAST(SUM(chars) AS BIGINT) AS sum_chars
+FROM up GROUP BY x, y
+""",
+)
+def pyramid_rollup_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode at z12 then roll up level-by-level to z6 through the engine's
+    rollup operator; the oracle collapses the ladder to one shift (exact:
+    floor-division composes)."""
+    from vt_grid_spark.operators.encode import cell_aggregate, encode_points
+    from vt_grid_spark.operators.rollup import rollup_level
+    from vt_grid_spark.plans.aggspec import AggSpec, compile_aggs
+
+    specs = [AggSpec(out="cnt", reducer="count"),
+             AggSpec(out="sum_chars", reducer="sum", field="chars")]
+    pts = _pts(spark, sf_dir).withColumn("chars", F.length("text").cast("long"))
+    cur = cell_aggregate(encode_points(pts, 12), 12, compile_aggs(specs))
+    for child_z in range(12, 6, -1):
+        cur = rollup_level(cur, child_z, specs)
+    return cur.select("x", "y", "quadkey", "cnt", "sum_chars")
+
+
+@register(
+    "pyramid_level_sizes",
+    f"""
+WITH pts AS ({_PAGES}),
+enc AS (
+  SELECT {sq.tile_x_sql('lon', 12)} AS x12, {sq.tile_y_sql('lat', 12)} AS y12
+  FROM pts
+),
+lv AS (
+  SELECT (12 - d) AS zoom, x12 >> d AS x, y12 >> d AS y, COUNT(*) AS c
+  FROM enc, (SELECT range AS d FROM range(0, 7)) ds
+  GROUP BY 1, 2, 3
+)
+SELECT zoom, COUNT(*) AS n_cells, CAST(SUM(c) AS BIGINT) AS n_points
+FROM lv GROUP BY zoom
+""",
+)
+def pyramid_level_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Level-cardinality profile of the whole pyramid z12..z6 — every level
+    must conserve the point count (pyramid-consistency invariant,
+    /root/reference/test/lib/aggregate-cells.js:43-56)."""
+    from vt_grid_spark.operators.encode import cell_aggregate, encode_points
+    from vt_grid_spark.operators.rollup import rollup_level
+    from vt_grid_spark.plans.aggspec import AggSpec, compile_aggs
+
+    specs = [AggSpec(out="c", reducer="count")]
+    pts = _pts(spark, sf_dir)
+    cur = cell_aggregate(encode_points(pts, 12), 12, compile_aggs(specs))
+    levels = [cur]
+    for child_z in range(12, 6, -1):
+        cur = rollup_level(cur, child_z, specs)
+        levels.append(cur)
+    allv = levels[0]
+    for l in levels[1:]:
+        allv = allv.unionByName(l)
+    return allv.groupBy("zoom").agg(
+        F.count(F.lit(1)).alias("n_cells"), F.sum("c").alias("n_points")
+    ).select(F.col("zoom").cast("long").alias("zoom"), "n_cells", "n_points")
+
+
+# ---------------------------------------------------------------------------
+# A3: area-weighted mean (README.md:49-61) with integer-valued weights
+# ---------------------------------------------------------------------------
+
+@register(
+    "weighted_mean_z8",
+    f"""
+WITH pts AS ({_PAGES}),
+enc AS (
+  SELECT {sq.tile_x_sql('lon', 8)} AS x, {sq.tile_y_sql('lat', 8)} AS y,
+         CAST(length(text) AS DOUBLE) AS v,
+         CAST(length(lang) + length(url) % 10 AS DOUBLE) AS w
+  FROM pts
+)
+SELECT x, y, ROUND(SUM(w * v) / SUM(w), 6) AS wmean_chars,
+       ROUND(SUM(w), 6) AS w_sum
+FROM enc GROUP BY x, y
+""",
+)
+def weighted_mean_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vt_grid_spark.operators.encode import encode_points
+    from vt_grid_spark.plans.aggspec import AggSpec, compile_aggs, finalize_columns
+
+    pts = (
+        _pts(spark, sf_dir)
+        .withColumn("v", F.length("text").cast("double"))
+        .withColumn("w", (F.length("lang") + F.length("url") % 10).cast("double"))
+    )
+    specs = [AggSpec(out="wmean_chars", reducer="areaWeightedMean", field="v", weight="w")]
+    enc = encode_points(pts, 8, with_quadkey=False)
+    out = enc.groupBy("x", "y").agg(*compile_aggs(specs))
+    fin = finalize_columns(specs)
+    return out.select(
+        "x", "y",
+        F.round(fin["wmean_chars"], 6).alias("wmean_chars"),
+        F.round(F.col("wmean_chars__w"), 6).alias("w_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A4: union reducer (README.md:101,154) — sorted distinct, joined to string
+# ---------------------------------------------------------------------------
+
+@register(
+    "union_langs_z4",
+    f"""
+WITH pts AS ({_PAGES}),
+enc AS (
+  SELECT {sq.tile_x_sql('lon', 4)} AS x, {sq.tile_y_sql('lat', 4)} AS y, lang
+  FROM pts
+)
+SELECT x, y, string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
+       COUNT(DISTINCT lang) AS n_langs
+FROM enc GROUP BY x, y
+""",
+)
+def union_langs_z4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vt_grid_spark.operators.encode import encode_points
+
+    enc = encode_points(_pts(spark, sf_dir), 4, with_quadkey=False)
+    return enc.groupBy("x", "y").agg(
+        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
+        F.size(F.collect_set("lang")).cast("long").alias("n_langs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3: hasProgeny prefix membership (lib/tile-util.js:58-75)
+# ---------------------------------------------------------------------------
+
+_ANCESTORS = ["0320", "0231", "1202"]  # z4 quadkeys (DC area, Atlantic, S.Am)
+
+
+@register(
+    "progeny_membership",
+    f"""
+WITH pts AS ({_PAGES}),
+enc AS (
+  SELECT {sq.tile_x_sql('lon', 12)} AS x, {sq.tile_y_sql('lat', 12)} AS y
+  FROM pts
+),
+qk AS (
+  SELECT {sq.quadkey_sql('x >> 8', 'y >> 8', 4)} AS anc, COUNT(*) AS cnt
+  FROM enc GROUP BY 1
+)
+SELECT anc, cnt FROM qk
+WHERE anc IN ({", ".join(repr(a) for a in _ANCESTORS)})
+""",
+)
+def progeny_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count z12 points descending from each ancestor prefix — the Spark
+    side filters with startswith on the z12 quadkey (prefix semantics),
+    the oracle by integer ancestor arithmetic."""
+    from vt_grid_spark.operators.encode import encode_points
+
+    enc = encode_points(_pts(spark, sf_dir), 12)
+    cond = None
+    for a in _ANCESTORS:
+        c = F.col("quadkey").startswith(a)
+        cond = c if cond is None else (cond | c)
+    return (
+        enc.where(cond)
+        .withColumn("anc", F.col("quadkey").substr(1, 4))
+        .groupBy("anc")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational-input encode: lineitem with synthetic coordinates (FIXTURES.md F4)
+# ---------------------------------------------------------------------------
+
+_LI_LON = "(-180.0 + CAST((l_orderkey * 7 + l_linenumber) % 36000 AS DOUBLE) / 100.0)"
+_LI_LAT = "(-85.0 + CAST((l_partkey * 13) % 17000 AS DOUBLE) / 100.0)"
+
+
+@register(
+    "lineitem_cells_z10",
+    f"""
+WITH li AS (
+  SELECT {_LI_LON} AS lon, {_LI_LAT} AS lat, l_quantity AS qty
+  FROM lineitem
+),
+enc AS (
+  SELECT {sq.tile_x_sql('lon', 10)} AS x, {sq.tile_y_sql('lat', 10)} AS y, qty
+  FROM li
+)
+SELECT x, y, COUNT(*) AS cnt, ROUND(SUM(qty), 6) AS sum_qty
+FROM enc GROUP BY x, y
+""",
+)
+def lineitem_cells_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vt_grid_spark.operators.encode import encode_points
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        (F.lit(-180.0) + ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 36000).cast("double") / 100.0).alias("lon"),
+        (F.lit(-85.0) + ((F.col("l_partkey") * 13) % 17000).cast("double") / 100.0).alias("lat"),
+        F.col("l_quantity").alias("qty"),
+    )
+    enc = encode_points(li, 10, with_quadkey=False)
+    return enc.groupBy("x", "y").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("qty"), 6).alias("sum_qty")
+    )
