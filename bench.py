@@ -1,0 +1,84 @@
+"""Round benchmark: full-pyramid build + headline operator queries.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": <sec>, "unit": "sec", "queries": {...}, "sf": ...,
+   "tiles_per_sec": ..., "pyramid": {...}}
+
+Headline = wall time of the checkpointed full pyramid build (encode at base
+cell zoom 12, roll up to z0, every level written to parquet with manifests)
+over the synthetic page corpus at $SPARK_GRAFT_SF_DIR scale.
+tiles_per_sec = total cells written across all levels / wall.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def main():
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from vt_grid_spark.operators.pyramid import build_pyramid
+    from vt_grid_spark.plans.aggspec import AggSpec
+    from vt_grid_spark.plans.pyramid_plan import PyramidPlan, ZoomBand
+    from vt_grid_spark.session import get_spark
+    from vt_grid_spark.sources import pages
+    from vt_grid_spark.sources.table_io import TableIO
+
+    spark = get_spark("vt-grid-bench", cores=CPUS)
+    sf = SF_DIR.rstrip("/").rsplit("/", 1)[-1]
+    n = pages.n_for_sf_dir(SF_DIR)
+
+    # --- headline: full pyramid, base cell zoom 12 -> 0 ----------------------
+    pts = pages.with_coords(pages.pages_df(spark, n))
+    pts = pts.withColumn("v", F.length("text").cast("double"))
+    specs = [AggSpec(out="cnt", reducer="count"),
+             AggSpec(out="sum_v", reducer="sum", field="v")]
+    plan = PyramidPlan(bands=[ZoomBand(basezoom=13, minzoom=0, aggregations=specs)],
+                       gridsize=1, salt_buckets=16)
+    pts.count()  # warm input generation outside the timed section
+
+    out_dir = tempfile.mkdtemp(prefix="vtgrid_bench_")
+    try:
+        t0 = time.perf_counter()
+        manifests = build_pyramid(pts, plan, TableIO(out_dir), resume=False)
+        wall = time.perf_counter() - t0
+        total_tiles = sum(m["row_count"] for m in manifests.values())
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    # --- per-query timings ----------------------------------------------------
+    queries = {}
+    for name, fn in entrymod.queries().items():
+        t0 = time.perf_counter()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.perf_counter() - t0, 3)
+
+    print(json.dumps({
+        "metric": "full_pyramid_build_wall",
+        "value": round(wall, 3),
+        "unit": "sec",
+        "sf": sf,
+        "cpus": CPUS,
+        "tiles_per_sec": round(total_tiles / wall, 1),
+        "pyramid": {"levels": len(manifests), "total_tiles": total_tiles,
+                    "points": n, "base_cell_zoom": max(manifests),
+                    "min_cell_zoom": min(manifests)},
+        "queries": queries,
+    }))
+
+
+if __name__ == "__main__":
+    main()

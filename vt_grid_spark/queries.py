@@ -244,21 +244,29 @@ WHERE anc IN ({", ".join(repr(a) for a in _ANCESTORS)})
 """,
 )
 def progeny_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Count z12 points descending from each ancestor prefix — the Spark
-    side filters with startswith on the z12 quadkey (prefix semantics),
-    the oracle by integer ancestor arithmetic."""
+    """Count z12 points descending from each ancestor prefix.
+
+    quadkey-prefix membership == integer equality on the bit-shifted
+    ancestor (hasProgeny walks getParent the same way,
+    /root/reference/lib/tile-util.js:58-75).  The hot path stays on
+    integer keys; the quadkey string is derived on the tiny aggregate
+    (also dodges a janino codegen fallback seen with string-heavy
+    hashAgg at z12)."""
+    from vt_grid_spark import tilemath as tm
     from vt_grid_spark.operators.encode import encode_points
 
-    enc = encode_points(_pts(spark, sf_dir), 12)
+    anc_xy = [tm.quadkey_to_tile(a)[:2] for a in _ANCESTORS]
+    enc = encode_points(_pts(spark, sf_dir), 12, with_quadkey=False)
+    ax, ay = F.shiftright("x", 8), F.shiftright("y", 8)
     cond = None
-    for a in _ANCESTORS:
-        c = F.col("quadkey").startswith(a)
+    for (x4, y4) in anc_xy:
+        c = (ax == x4) & (ay == y4)
         cond = c if cond is None else (cond | c)
     return (
         enc.where(cond)
-        .withColumn("anc", F.col("quadkey").substr(1, 4))
-        .groupBy("anc")
+        .groupBy(ax.alias("_ax"), ay.alias("_ay"))
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(vf.quadkey(F.col("_ax"), F.col("_ay"), 4).alias("anc"), "cnt")
     )
 
 
