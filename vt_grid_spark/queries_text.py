@@ -1,0 +1,300 @@
+"""Training-data-pipeline operator queries: dedup, similarity, text
+analysis, multimodal plumbing — each with a DuckDB oracle mirroring the
+same algorithm (hashes are md5-derived so both engines agree bit-for-bit;
+see tests/test_dedup.py for the Spark<->DuckDB kernel cross-checks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vt_grid_spark.operators.dedup import (MINHASH_AS, MINHASH_BS, MINHASH_P,
+                                           exact_dedup, minhash_bands,
+                                           minhash_dup_pairs,
+                                           minhash_signatures,
+                                           ngram_jaccard_pairs, simhash64)
+from vt_grid_spark.queries import register
+
+# --- shared DuckDB fragments -------------------------------------------------
+
+_SH_SQL = ("list_distinct(list_transform(generate_series(1, greatest(length(text)-2, 1)),"
+           " i -> substr(text, CAST(i AS INT), 3)))")
+_X32 = "((('0x' || substr(md5(s), 1, 8))::BIGINT) % 2147483647)"
+_X64 = "(('0x' || substr(md5(s), 1, 15))::BIGINT)"
+
+
+def _mh_sql(i: int) -> str:
+    a, b = MINHASH_AS[i], MINHASH_BS[i]
+    return (f"list_min(list_transform(sh, s -> ({a} * {_X32} + {b}) % {MINHASH_P}))")
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# exact dedup on a dup-injected corpus
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 10 = 0
+)
+SELECT md5(text) AS fp, MIN(doc_id) AS keep_id, COUNT(*) - 1 AS n_dups
+FROM corpus GROUP BY fp HAVING COUNT(*) > 1
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    dups = docs.where(F.col("doc_id") % 10 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 1_000_000)
+    corpus = docs.unionByName(dups)
+    return exact_dedup(corpus).where(F.col("n_dups") > 0)
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH bands
+# ---------------------------------------------------------------------------
+
+_BANDS_ORACLE = "\nUNION ALL\n".join(
+    f"""SELECT doc_id, {b} AS band,
+  md5(CAST(mh_{4*b} AS VARCHAR) || ',' || CAST(mh_{4*b+1} AS VARCHAR) || ',' ||
+      CAST(mh_{4*b+2} AS VARCHAR) || ',' || CAST(mh_{4*b+3} AS VARCHAR)) AS band_hash
+FROM sigs"""
+    for b in range(4)
+)
+
+_SIGS_CTE = ("sigs AS (SELECT doc_id, "
+             + ", ".join(f"{_mh_sql(i)} AS mh_{i}" for i in range(16))
+             + " FROM (SELECT doc_id, " + _SH_SQL + " AS sh FROM documents))")
+
+
+@register("minhash_bands", f"WITH {_SIGS_CTE}\n{_BANDS_ORACLE}")
+def minhash_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sigs = minhash_signatures(_docs(spark, sf_dir))
+    return minhash_bands(sigs)
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH near-dup pairs (same algorithm mirrored in SQL; exact-recall
+# comparison vs ngram_jaccard_pairs lives in tests/test_dedup.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "minhash_dup_pairs",
+    f"""
+WITH {_SIGS_CTE},
+bands AS ({_BANDS_ORACLE}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b USING (band, band_hash)
+  WHERE a.doc_id < b.doc_id
+),
+sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents)
+SELECT id_a, id_b,
+       ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
+FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.7
+""",
+)
+def minhash_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_dup_pairs(_docs(spark, sf_dir), threshold=0.7)
+
+
+@register(
+    "ngram_jaccard_pairs",
+    f"""
+WITH sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
+FROM sh a, sh b
+WHERE a.doc_id < b.doc_id
+  AND ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.7
+""",
+)
+def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs baseline via inverted posting-list join (no LSH)."""
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.7)
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures
+# ---------------------------------------------------------------------------
+
+_SIM_VOTES = ", ".join(
+    f"list_sum(list_transform(sh, s -> CASE WHEN ({_X64} >> {j}) % 2 = 1"
+    f" THEN 1 ELSE -1 END)) AS v_{j}"
+    for j in range(16)
+)
+_SIM_BITS = " + ".join(f"(CASE WHEN v_{j} > 0 THEN {1 << j} ELSE 0 END)" for j in range(16))
+
+
+@register(
+    "simhash_signatures",
+    f"""
+WITH sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents),
+v AS (SELECT doc_id, {_SIM_VOTES} FROM sh)
+SELECT doc_id, CAST({_SIM_BITS} AS BIGINT) AS simhash FROM v
+""",
+)
+def simhash_signatures_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return simhash64(_docs(spark, sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Text quality / language id / token counting / fingerprint
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_quality",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         length(text) AS n_chars_q,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0) AS toks,
+         string_split_regex(trim(text), '\s+') AS ws
+  FROM documents
+)
+SELECT doc_id,
+  CAST(n_chars_q AS BIGINT) AS n_chars_q,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+  CAST(len(list_filter(ws, x -> list_contains(['the','a','and','of','to','in','is','it'], x))) AS BIGINT) AS stop_hits,
+  ROUND(len(list_filter(toks, x -> regexp_full_match(x, '[^A-Za-z0-9]')))::DOUBLE / len(toks), 6) AS punct_ratio,
+  ROUND(LEAST(1.0, len(ws) / 50.0) * 0.5
+      + LEAST(1.0, len(list_filter(ws, x -> list_contains(['the','a','and','of','to','in','is','it'], x))) / 5.0) * 0.3
+      + (1.0 - LEAST(1.0, ROUND(len(list_filter(toks, x -> regexp_full_match(x, '[^A-Za-z0-9]')))::DOUBLE / len(toks), 6) * 5.0)) * 0.2, 6) AS quality_score
+FROM t
+""",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vt_grid_spark.operators.textops import with_quality
+
+    out = with_quality(_docs(spark, sf_dir))
+    return out.select("doc_id", "n_chars_q", "n_tokens", "n_ws_tokens",
+                      "stop_hits", "punct_ratio", "quality_score")
+
+
+@register(
+    "lang_id",
+    r"""
+WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+h AS (
+  SELECT doc_id,
+    CAST(len(list_filter(ws, x -> list_contains(['the','a','and','of','to','in','is','it'], x))) AS BIGINT) AS hits_en,
+    CAST(len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','ein','zu','mit'], x))) AS BIGINT) AS hits_de,
+    CAST(len(list_filter(ws, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))) AS BIGINT) AS hits_fr
+  FROM t
+)
+SELECT doc_id, hits_en, hits_de, hits_fr,
+  CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+       WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
+       WHEN hits_fr > 0 THEN 'fr'
+       ELSE 'unknown' END AS lang_pred
+FROM h
+""",
+)
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vt_grid_spark.operators.textops import with_lang_id
+
+    out = with_lang_id(_docs(spark, sf_dir))
+    return out.select("doc_id", "hits_en", "hits_de", "hits_fr", "lang_pred")
+
+
+@register(
+    "doc_fingerprint",
+    r"""
+SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
+       CAST(COUNT(*) AS BIGINT) AS cnt, MIN(doc_id) AS first_doc
+FROM documents GROUP BY fingerprint
+""",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vt_grid_spark.operators.textops import with_fingerprint
+
+    out = with_fingerprint(_docs(spark, sf_dir))
+    return out.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("first_doc"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding similarity: brute-force cosine top-k (oracle) + LSH ANN (rows-only)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cosine_topk",
+    """
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+         ROUND(list_dot_product(embedding::DOUBLE[], qv)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv, qv))), 6) AS cos
+  FROM embeddings, q
+)
+SELECT rank, vec_id, cos FROM (
+  SELECT vec_id, cos,
+         CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM s
+) WHERE rank <= 20
+""",
+)
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vt_grid_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(v) for v in emb.where(F.col("vec_id") == 0).collect()[0].embedding]
+    return cosine_topk(emb, qv, 20)
+
+
+@register("ann_lsh_topk")  # no oracle: approximate operator, recall tested in pytest
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vt_grid_spark.operators.similarity import ann_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row0 = emb.where(F.col("vec_id") == 0).collect()[0]
+    qv = [float(v) for v in row0.embedding]
+    return ann_cosine_topk(emb, qv, 20, dim=len(qv), n_planes=8, probe_hamming=1)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary html -> features via mapInPandas (north_rule:
+# byte-identical extracted text per url, checked through md5)
+# ---------------------------------------------------------------------------
+
+from vt_grid_spark.sources.pages import N_FOR_SF, pages_cte_sql
+
+_ALL_PAGES = pages_cte_sql(N_FOR_SF["sf0.01"])
+
+
+@register(
+    "html_features",
+    f"""
+SELECT url,
+  CAST(length(text) + 26 AS BIGINT) AS n_bytes,
+  CAST(4 AS BIGINT) AS n_tags,
+  CAST((length(text) + 26) % 640 + 1 AS INT) AS fake_w,
+  CAST(((length(text) + 26) * 7) % 480 + 1 AS INT) AS fake_h,
+  md5(text) AS text_md5
+FROM ({_ALL_PAGES}) p
+""",
+)
+def html_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vt_grid_spark.operators.multimodal import html_features
+    from vt_grid_spark.sources import pages as pg
+
+    corpus = pg.pages_df(spark, pg.n_for_sf_dir(sf_dir))
+    feats = html_features(corpus)
+    return feats.select(
+        "url", "n_bytes", "n_tags", "fake_w", "fake_h",
+        F.md5("text_extracted").alias("text_md5"),
+    )
