@@ -30,12 +30,14 @@ MINHASH_AS = [2654435761 % MINHASH_P, 2246822519, 3266489917 % MINHASH_P,
 MINHASH_BS = [i * i * 7919 + 17 for i in range(16)]
 
 
+def _shingles_expr(text_col: str, k: int = 3) -> str:
+    return (f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+            f" i -> substring({text_col}, i, {k})))")
+
+
 def shingles_col(text_col: str, k: int = 3):
     """Distinct character k-grams as an array column (pure SQL expr)."""
-    return F.expr(
-        f"array_distinct(transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
-        f" i -> substring({text_col}, i, {k})))"
-    )
+    return F.expr(_shingles_expr(text_col, k))
 
 
 def shingle_hash_sql_spark(s: str) -> str:
@@ -56,18 +58,23 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", n_hashes: int = 16,
                        k: int = 3) -> DataFrame:
-    """(id, mh_0..mh_{n-1}): min over shingles of (a*x + b) mod p."""
-    out = df.select(id_col, shingles_col(text_col, k).alias("_sh"))
+    """(id, mh_0..mh_{n-1}): min over shingles of (a*x + b) mod p.
+
+    The md5-derived shingle hash is materialized ONCE into an int array
+    (`_xs`), then each of the n_hashes minhashes is a cheap arithmetic
+    min-fold over it — 16x fewer md5 evaluations than the naive form.
+    x is reduced mod p before multiplying: keeps a*x < 2^62 (ANSI-safe in
+    Spark 4, overflow-safe in DuckDB) with identical results."""
+    x = shingle_hash_sql_spark("s")
+    out = df.select(id_col, shingles_col(text_col, k).alias("_sh")).withColumn(
+        "_xs", F.expr(f"transform(_sh, s -> {x} % {MINHASH_P})"))
     for i in range(n_hashes):
         a, b = MINHASH_AS[i], MINHASH_BS[i]
-        x = shingle_hash_sql_spark("s")
-        # reduce x mod p before multiplying: keeps a*x < 2^62 (ANSI-safe in
-        # Spark 4, overflow-safe in DuckDB) with identical results
         out = out.withColumn(
             f"mh_{i}",
-            F.expr(f"array_min(transform(_sh, s -> ({a} * ({x} % {MINHASH_P}) + {b}) % {MINHASH_P}))"),
+            F.expr(f"array_min(transform(_xs, x -> ({a} * x + {b}) % {MINHASH_P}))"),
         )
-    return out.drop("_sh")
+    return out.drop("_sh", "_xs")
 
 
 def minhash_bands(sigs: DataFrame, id_col: str = "doc_id",
@@ -93,13 +100,26 @@ def minhash_bands(sigs: DataFrame, id_col: str = "doc_id",
 
 def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.5,
-                      n_hashes: int = 16, band_size: int = 4, k: int = 3) -> DataFrame:
-    """Candidate pairs from LSH buckets, refined by EXACT shingle-set
-    Jaccard >= threshold.  Returns (id_a, id_b, jac) with id_a < id_b.
+                      n_hashes: int = 16, band_size: int = 4, k: int = 3,
+                      est_margin: float = 0.25) -> DataFrame:
+    """Candidate pairs from LSH buckets, prefiltered by minhash-signature
+    agreement, refined by EXACT shingle-set Jaccard >= threshold.
+    Returns (id_a, id_b, jac) with id_a < id_b.
 
-    The refine join re-attaches shingle arrays only for candidate ids —
-    at scale that's a broadcast-able fraction of the corpus."""
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, k)
+    Hot-bucket skew (boilerplate text -> one bucket holding thousands of
+    docs -> quadratic candidates) is absorbed in two steps:
+      1. the candidate join carries only (id, band, band_hash) — no
+         payload;
+      2. before touching shingle arrays, pairs are scored by signature
+         agreement (sum of n_hashes integer equalities over a BROADCAST
+         signature table — no shuffle) and must reach
+         floor((threshold - est_margin) * n_hashes) matches; E[matches/n]
+         = Jaccard, so the margin bounds the false-drop rate.  Only
+         survivors pay the exact shingle intersection."""
+    min_matches = max(0, int((threshold - est_margin) * n_hashes))
+    # cache: the signature table feeds banding AND both sides of the
+    # prefilter — without it the whole md5 pipeline runs three times
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, k).cache()
     bands = minhash_bands(sigs, id_col, n_hashes, band_size)
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
@@ -109,10 +129,42 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
         .select("id_a", "id_b")
         .distinct()
     )
-    sh = df.select(F.col(id_col), shingles_col(text_col, k).alias("_sh"))
+
+    mh_cols = [f"mh_{i}" for i in range(n_hashes)]
+    sig_a = sigs.select(F.col(id_col).alias("id_a"),
+                        *[F.col(c).alias(f"a_{c}") for c in mh_cols])
+    sig_b = sigs.select(F.col(id_col).alias("id_b"),
+                        *[F.col(c).alias(f"b_{c}") for c in mh_cols])
+    cand = cand.join(F.broadcast(sig_a), "id_a").join(F.broadcast(sig_b), "id_b")
+    matches = None
+    for c in mh_cols:
+        term = F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), F.lit(1)).otherwise(F.lit(0))
+        matches = term if matches is None else (matches + term)
     cand = (
-        cand.join(sh.withColumnRenamed("_sh", "_sha").withColumnRenamed(id_col, "id_a"), "id_a")
-        .join(sh.withColumnRenamed("_sh", "_shb").withColumnRenamed(id_col, "id_b"), "id_b")
+        cand.withColumn("_m", matches)
+        .where(F.col("_m") >= min_matches)
+        .select("id_a", "id_b")
+    )
+
+    # exact refine over HASHED shingle sets (int64 arrays — far cheaper to
+    # intersect than strings; 32-bit collisions are deterministic and
+    # mirrored in the oracle, so both engines agree exactly)
+    x = shingle_hash_sql_spark("s")
+    sh = df.select(
+        F.col(id_col),
+        F.expr(f"array_distinct(transform({_shingles_expr(text_col, k)}, s -> {x}))").alias("_sh"),
+    )
+    # semi-join reduction: only docs that survive as candidates need their
+    # shingle sets materialized — at corpus scale this is a tiny fraction,
+    # small enough to broadcast into the pair join
+    ids = cand.select(F.col("id_a").alias(id_col)).unionByName(
+        cand.select(F.col("id_b").alias(id_col))).distinct()
+    sh = sh.join(ids, id_col, "left_semi")
+    cand = (
+        cand.join(F.broadcast(sh.withColumnRenamed("_sh", "_sha")
+                              .withColumnRenamed(id_col, "id_a")), "id_a")
+        .join(F.broadcast(sh.withColumnRenamed("_sh", "_shb")
+                          .withColumnRenamed(id_col, "id_b")), "id_b")
     )
     inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
     union = F.size(F.array_union("_sha", "_shb")).cast("double")
@@ -128,12 +180,13 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     """64-bit SimHash over character k-grams: bit j of the signature is the
     sign of sum over shingles of (bit j of md5-derived 64-bit hash ? +1 : -1).
     Pure aggregate expressions."""
-    x64 = f"cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
-    sh = df.select(F.col(id_col), shingles_col(text_col, k).alias("_sh"))
-    # per-bit vote: aggregate over shingles of +-1, packed via sum of bits
+    x64 = "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
+    sh = df.select(F.col(id_col), shingles_col(text_col, k).alias("_sh")).withColumn(
+        "_xs", F.expr(f"transform(_sh, s -> {x64})"))
+    # per-bit vote over the hoisted hash array: +-1, packed via sum of bits
     votes = [
         F.expr(
-            f"aggregate(_sh, 0L, (acc, s) -> acc + CASE WHEN ({x64} >> {j}) % 2 = 1"
+            f"aggregate(_xs, 0L, (acc, x) -> acc + CASE WHEN (x >> {j}) % 2 = 1"
             f" THEN 1 ELSE -1 END)"
         ).alias(f"v_{j}")
         for j in range(16)  # 16 bits is plenty for bucketing tests

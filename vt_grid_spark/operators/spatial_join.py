@@ -81,20 +81,36 @@ def points_in_polygon_numpy(lon: np.ndarray, lat: np.ndarray, rings: list) -> np
     return inside
 
 
-def _pip_kernel(lon: pd.Series, lat: pd.Series, geom_json: pd.Series) -> pd.Series:
-    out = np.zeros(len(lon), dtype=bool)
-    lon_v = lon.to_numpy(dtype=np.float64)
-    lat_v = lat.to_numpy(dtype=np.float64)
-    gj_v = geom_json.to_numpy()
-    for gj in pd.unique(gj_v):
-        geom = json.loads(gj)
-        polys = [geom["coordinates"]] if geom["type"] == "Polygon" else geom["coordinates"]
-        pos = np.nonzero(gj_v == gj)[0]
-        hit = np.zeros(len(pos), dtype=bool)
-        for rings in polys:
-            hit |= points_in_polygon_numpy(lon_v[pos], lat_v[pos], rings)
-        out[pos] = hit
-    return pd.Series(out)
+def _make_pip_udf(geoms: dict):
+    """Vectorized refine UDF with the polygon dict captured in the closure
+    (broadcast with the task) — only (lon, lat, poly_id, full) cross Arrow,
+    not a geometry string per row.  Rows flagged ``full`` (cell wholly
+    inside the polygon) short-circuit to True inside the kernel, so the
+    exact test runs only on boundary-cell rows — all in ONE pass over the
+    candidates (a separate full/partial branch would rescan the whole
+    upstream pipeline twice)."""
+
+    def kernel(lon: pd.Series, lat: pd.Series, poly_id: pd.Series,
+               full: pd.Series) -> pd.Series:
+        n = len(lon)
+        out = np.zeros(n, dtype=bool)
+        full_v = full.to_numpy(dtype=bool)
+        out[full_v] = True
+        todo = np.nonzero(~full_v)[0]
+        if len(todo):
+            lon_v = lon.to_numpy(dtype=np.float64)[todo]
+            lat_v = lat.to_numpy(dtype=np.float64)[todo]
+            pid_v = poly_id.to_numpy()[todo]
+            for pid in pd.unique(pid_v):
+                polys = geoms[pid]
+                pos = np.nonzero(pid_v == pid)[0]
+                hit = np.zeros(len(pos), dtype=bool)
+                for rings in polys:
+                    hit |= points_in_polygon_numpy(lon_v[pos], lat_v[pos], rings)
+                out[todo[pos]] = hit
+        return pd.Series(out)
+
+    return pandas_udf(kernel, "boolean")
 
 
 def point_in_polygon_join(points: DataFrame, polygons: DataFrame, z: int = 9,
@@ -109,23 +125,22 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame, z: int = 9,
     spark = points.sparkSession
     polys = polygons.select(poly_id, geometry_json).collect()
     cover_rows = []
+    geoms: dict = {}
     for r in polys:
         geom = json.loads(r[geometry_json])
         rings_list = [geom["coordinates"]] if geom["type"] == "Polygon" else geom["coordinates"]
+        geoms[r[poly_id]] = rings_list
         seen: dict[tuple, bool] = {}
         for rings in rings_list:
             for x, y, full in polygon_cover_cells(rings, z):
                 seen[(x, y)] = seen.get((x, y), False) or full
         for (x, y), full in seen.items():
-            cover_rows.append((r[poly_id], int(x), int(y), bool(full), r[geometry_json]))
+            cover_rows.append((r[poly_id], int(x), int(y), bool(full)))
     cover = spark.createDataFrame(
-        cover_rows, f"{poly_id} long, x long, y long, full boolean, {geometry_json} string"
-    )
+        cover_rows, f"{poly_id} long, x long, y long, full boolean")
 
     enc = encode_points(points, z, lon=lon, lat=lat, with_quadkey=False)
     cand = enc.join(F.broadcast(cover), ["x", "y"])
-    pip_udf = pandas_udf(_pip_kernel, "boolean")
-    refined = cand.where(
-        F.col("full") | pip_udf(F.col(lon), F.col(lat), F.col(geometry_json))
-    )
-    return refined.drop("x", "y", "zoom", "full", geometry_json)
+    pip_udf = _make_pip_udf(geoms)
+    out = cand.where(pip_udf(F.col(lon), F.col(lat), F.col(poly_id), F.col("full")))
+    return out.drop("x", "y", "zoom", "full")

