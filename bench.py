@@ -49,7 +49,7 @@ def main():
                        gridsize=1, salt_buckets=16)
     pts.count()  # warm input generation outside the timed section
 
-    out_dir = tempfile.mkdtemp(prefix="vtgrid_bench_")
+    out_dir = tempfile.mkdtemp(prefix="vtgrid_bench_", dir="/dev/shm" if __import__("os").path.isdir("/dev/shm") else None)
     try:
         t0 = time.perf_counter()
         manifests = build_pyramid(pts, plan, TableIO(out_dir), resume=False)

@@ -1,0 +1,92 @@
+"""Physical-plan quality gates: these lock in the properties that make the
+engine scale — filter/column pushdown to the parquet scan, one exchange
+per rollup level, broadcast joins for dimension sides, top-k without a
+global sort.  If a refactor regresses a plan shape, these fail."""
+
+from pyspark.sql import functions as F
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+def test_parquet_pushdown(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.where(F.col("l_orderkey") < 100).select("l_orderkey", "l_quantity")
+    p = plan_str(q)
+    assert "PushedFilters: [IsNotNull(l_orderkey), LessThan(l_orderkey,100)]" in p
+    # column pruning: only the two projected columns reach the scan
+    assert "l_extendedprice" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_rollup_single_exchange(spark):
+    from vt_grid_spark.operators.encode import cell_aggregate, encode_points
+    from vt_grid_spark.operators.rollup import rollup_level
+    from vt_grid_spark.plans.aggspec import AggSpec, compile_aggs
+    from vt_grid_spark.sources import pages
+
+    specs = [AggSpec(out="cnt", reducer="count")]
+    pts = pages.with_coords(pages.pages_df(spark, 100))
+    cells = cell_aggregate(encode_points(pts, 8, with_quadkey=False), 8,
+                           compile_aggs(specs))
+    lvl = rollup_level(cells, 8, specs)
+    p = plan_str(lvl, "simple")
+    # one exchange for the base cell agg + one for the parent rollup — and
+    # nothing else (no sort, no extra repartition)
+    assert p.count("Exchange") == 2
+    assert "Sort" not in p
+    # map-side combine present on both aggregations
+    assert "partial_count" in p and "partial_sum" in p
+
+
+def test_encode_is_narrow(spark):
+    from vt_grid_spark.operators.encode import encode_points
+    from vt_grid_spark.sources import pages
+
+    enc = encode_points(pages.with_coords(pages.pages_df(spark, 100)), 12)
+    p = plan_str(enc)
+    assert "Exchange" not in p  # pure column math, zero shuffles
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p  # no Python
+
+
+def test_pip_join_broadcasts_cover(spark):
+    import json
+
+    from vt_grid_spark.operators.spatial_join import point_in_polygon_join
+    from vt_grid_spark.sources import pages
+
+    poly = {"type": "Polygon",
+            "coordinates": [[[-75, 40], [-75, 41], [-73, 41], [-73, 40], [-75, 40]]]}
+    polys = spark.createDataFrame([(1, json.dumps(poly))],
+                                  "poly_id long, geometry_json string")
+    pts = pages.with_coords(pages.pages_df(spark, 100))
+    out = point_in_polygon_join(pts, polys, z=8)
+    p = plan_str(out, "simple")
+    assert "BroadcastHashJoin" in p
+    assert p.count("ArrowEvalPython") == 1  # exactly one vectorized refine
+
+
+def test_topk_uses_take_ordered(spark):
+    from vt_grid_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qv = [0.1] * 64
+    top = cosine_topk(emb, qv, 10)
+    p = plan_str(top)
+    # the limit must push into TakeOrderedAndProject — no global sort of
+    # the full similarity column
+    assert "TakeOrderedAndProject" in p
+
+
+def test_raster_to_cells_no_python(spark):
+    from vt_grid_spark.operators.raster import raster_to_cells
+
+    blocks = spark.range(2).select(
+        F.lit(8).alias("tile_z"), F.col("id").alias("tile_x"),
+        F.col("id").alias("tile_y"),
+        F.transform(F.sequence(F.lit(0), F.lit(255)),
+                    lambda p: p.cast("double")).alias("band"))
+    cells = raster_to_cells(blocks, k=4)
+    p = plan_str(cells)
+    assert "Exchange" not in p and "EvalPython" not in p

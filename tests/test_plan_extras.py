@@ -1,0 +1,73 @@
+"""Dense-cell view (reference grid-path parity), multi-band zoom stacks,
+aggregation-spec validation."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from vt_grid_spark.operators.encode import cell_aggregate, encode_points
+from vt_grid_spark.operators.rollup import densify, rollup_level
+from vt_grid_spark.plans.aggspec import AggSpec, compile_aggs
+from vt_grid_spark.plans.pyramid_plan import PyramidPlan, ZoomBand
+from vt_grid_spark.sources import pages
+
+
+def test_densify_materializes_empty_cells(spark):
+    """The reference grid path emits all 4^d progeny cells including empty
+    (/root/reference/lib/aggregate-cells.js:39-47); our engine is sparse
+    with a densify view for parity (SURVEY.md §7 g3)."""
+    pts = pages.with_coords(pages.pages_df(spark, 300))
+    cells = cell_aggregate(encode_points(pts, 8, with_quadkey=False), 8,
+                           compile_aggs([AggSpec(out="cnt", reducer="count")]))
+    dense = densify(cells, parent_z=4, cell_z=8)
+    n_parents = (
+        cells.select(F.shiftright("x", 4).alias("tx"), F.shiftright("y", 4).alias("ty"))
+        .distinct().count()
+    )
+    rows = dense.collect()
+    assert len(rows) == n_parents * (1 << 4) ** 2  # dense: 256 cells/parent
+    filled = [r for r in rows if r.cnt is not None]
+    assert 0 < len(filled) < len(rows)
+    got = {(r.x, r.y): r.cnt for r in filled}
+    want = {(r.x, r.y): r.cnt for r in cells.collect()}
+    assert got == want
+    for r in rows[:50]:
+        assert len(r.quadkey) == 8
+
+
+def test_multiband_zoom_stack(spark):
+    """Zoom-band option stacks (/root/reference/index.js:45-59): count at
+    the first band, sum of counts below (README.md:66-74)."""
+    from vt_grid_spark.operators.pyramid import build_pyramid_df
+
+    pts = pages.with_coords(pages.pages_df(spark, 2000))
+    plan = PyramidPlan(
+        bands=[
+            ZoomBand(basezoom=9, minzoom=7,
+                     aggregations=[AggSpec(out="n", reducer="count")]),
+            ZoomBand(basezoom=7, minzoom=4,
+                     aggregations=[AggSpec(out="n", reducer="sum", field="n")]),
+        ],
+        gridsize=4,
+    )
+    levels = build_pyramid_df(pts, plan).cache()
+    zooms = sorted(r.zoom for r in levels.select("zoom").distinct().collect())
+    assert zooms == [5, 6, 7, 8, 9]  # cell zooms: base 8+1 .. 4+1
+    total = pts.count()
+    for z in zooms:
+        s = levels.where(F.col("zoom") == z).agg(F.sum("n")).collect()[0][0]
+        assert s == total  # count then sum-of-counts conserves
+    levels.unpersist()
+
+
+def test_band_continuity_validated():
+    with pytest.raises(ValueError, match="gap/overlap"):
+        PyramidPlan(bands=[
+            ZoomBand(basezoom=9, minzoom=7, aggregations=[]),
+            ZoomBand(basezoom=6, minzoom=4, aggregations=[]),
+        ])
+
+
+def test_unknown_reducer_rejected():
+    # mirrors /root/reference/bin/vt-grid:39-41
+    with pytest.raises(ValueError, match="unknown reducer"):
+        AggSpec(out="x", reducer="median", field="v")

@@ -13,12 +13,53 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from vt_grid_spark import tilemath as tm
 from vt_grid_spark.operators.encode import cell_aggregate, encode_points
 from vt_grid_spark.operators.rollup import rollup_level
-from vt_grid_spark.plans.aggspec import compile_aggs
+from vt_grid_spark.plans.aggspec import AggSpec, compile_aggs
 from vt_grid_spark.plans.pyramid_plan import PyramidPlan
 from vt_grid_spark.sources.table_io import TableIO
 from vt_grid_spark.tilemath import grid_zoom
+
+# below this many rows a level is rolled up driver-side (pandas groupby):
+# at the top of the pyramid each level is one near-empty Spark job (~0.5-2 s
+# of pure scheduling), and 10+ such levels are the serial fraction that
+# caps scaling efficiency.  100k rows of partials is a few MB.
+SMALL_LEVEL_ROWS = 1_000_000
+
+
+def _rollup_small_pandas(pdf, child_z: int, specs: list[AggSpec]):
+    """Driver-side rollup of one tiny level — same semantics as
+    compile_rollup_aggs, exact (integer/partial sums)."""
+    import pandas as pd
+
+    z = child_z - 1
+    pdf = pdf.copy()
+    pdf["x"] = pdf["x"] // 2
+    pdf["y"] = pdf["y"] // 2
+    aggs: dict = {}
+    for s in specs:
+        if s.reducer in ("count", "sum", "areaWeightedSum", "totalArea"):
+            aggs[s.out] = (s.out, "sum")
+        elif s.reducer == "min":
+            aggs[s.out] = (s.out, "min")
+        elif s.reducer == "max":
+            aggs[s.out] = (s.out, "max")
+        elif s.reducer == "mean":
+            aggs[f"{s.out}__cnt"] = (f"{s.out}__cnt", "sum")
+            aggs[f"{s.out}__sum"] = (f"{s.out}__sum", "sum")
+        elif s.reducer == "areaWeightedMean":
+            aggs[f"{s.out}__w"] = (f"{s.out}__w", "sum")
+            aggs[f"{s.out}__wv"] = (f"{s.out}__wv", "sum")
+        elif s.reducer == "union":
+            aggs[s.out] = (s.out, lambda col: sorted({v for arr in col for v in arr}))
+    out = pdf.groupby(["x", "y"], as_index=False).agg(**aggs)
+    out.insert(0, "zoom", z)
+    out.insert(3, "quadkey", tm.tile_to_quadkey(out["x"].to_numpy(),
+                                                out["y"].to_numpy(), z))
+    if z == 0:
+        out["quadkey"] = out["quadkey"].astype(str)
+    return out
 
 
 def build_pyramid(points: DataFrame, plan: PyramidPlan, io: TableIO,
@@ -53,11 +94,25 @@ def build_pyramid(points: DataFrame, plan: PyramidPlan, io: TableIO,
         )
 
     # --- rollup levels -------------------------------------------------------
+    # distributed while levels are big; once a level fits SMALL_LEVEL_ROWS
+    # the remaining pyramid is computed driver-side in one pass (pandas) —
+    # removes ~10 near-empty Spark jobs of pure scheduling latency.
     prev_cell_z = base_cell_z
+    small_pdf = None
     for output_z, cell_z, band in levels[1:]:
         assert cell_z == prev_cell_z - 1
         if resume and io.level_complete(cell_z):
             manifests[cell_z] = io.read_manifest(cell_z)
+            small_pdf = None  # re-read lazily if needed
+        elif small_pdf is not None or manifests[prev_cell_z]["row_count"] < SMALL_LEVEL_ROWS:
+            if small_pdf is None:
+                small_pdf = io.read_level_pandas(prev_cell_z)
+            small_pdf = _rollup_small_pandas(small_pdf, prev_cell_z, band.aggregations)
+            manifests[cell_z] = io.write_level_pandas(
+                small_pdf, cell_z,
+                lineage={"input": f"zoom={prev_cell_z}", "op": "rollup-small",
+                         "output_tile_zoom": output_z},
+            )
         else:
             children = io.read_level(spark, prev_cell_z)
             level = rollup_level(children, prev_cell_z, band.aggregations,

@@ -40,18 +40,20 @@ class TableIO:
         out = df.drop("zoom") if "zoom" in df.columns else df
         out.write.mode("overwrite").parquet(path)
 
-        spark = df.sparkSession
-        written = spark.read.parquet(path)
-        per_file = (
-            written.groupBy(F.input_file_name().alias("file"))
-            .count()
-            .collect()
-        )
+        # per-partition row counts from parquet FOOTERS (driver-side pyarrow
+        # metadata read, no Spark job) — a read-back count job per level was
+        # the dominant fixed cost of the build at small level sizes
+        import pyarrow.parquet as pq
+
+        files = {}
+        for name in sorted(os.listdir(path)):
+            if name.endswith(".parquet"):
+                files[name] = pq.read_metadata(os.path.join(path, name)).num_rows
         manifest = {
             "zoom": zoom,
             "status": "complete",
-            "row_count": int(sum(r["count"] for r in per_file)),
-            "files": {os.path.basename(r["file"]): int(r["count"]) for r in per_file},
+            "row_count": int(sum(files.values())),
+            "files": files,
             "lineage": lineage or {},
             "completed_at": time.time(),
         }
@@ -75,3 +77,41 @@ class TableIO:
     def read_manifest(self, zoom: int) -> dict:
         with open(self.manifest_path(zoom)) as f:
             return json.load(f)
+
+    # -- driver-side (pandas) path for tiny upper levels ------------------------
+    def read_level_pandas(self, zoom: int):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        path = self.level_path(zoom)
+        tbl = pq.read_table(path)
+        pdf = tbl.to_pandas()
+        pdf.insert(0, "zoom", zoom)
+        return pdf
+
+    def write_level_pandas(self, pdf, zoom: int, lineage: dict | None = None) -> dict:
+        import pyarrow.parquet as pq
+        import pyarrow as pa
+
+        path = self.level_path(zoom)
+        if os.path.exists(path):  # overwrite semantics, same as the Spark path
+            import shutil
+            shutil.rmtree(path)
+        os.makedirs(path)
+        fname = "part-00000.parquet"
+        out = pdf.drop(columns=["zoom"]) if "zoom" in pdf.columns else pdf
+        pq.write_table(pa.Table.from_pandas(out, preserve_index=False),
+                       os.path.join(path, fname))
+        manifest = {
+            "zoom": zoom,
+            "status": "complete",
+            "row_count": int(len(out)),
+            "files": {fname: int(len(out))},
+            "lineage": lineage or {},
+            "completed_at": time.time(),
+        }
+        tmp = self.manifest_path(zoom) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.manifest_path(zoom))
+        return manifest
