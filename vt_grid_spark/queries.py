@@ -423,3 +423,103 @@ def raster_to_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # second operator batch registers itself on import (dedup/similarity/text/multimodal)
 from vt_grid_spark import queries_text  # noqa: E402,F401
+
+
+# ---------------------------------------------------------------------------
+# F2: tile -> bbox scalar functions, cross-engine transcendental parity
+# (exp/atan/degrees in Spark vs DuckDB, rounded to 9 dp)
+# ---------------------------------------------------------------------------
+
+@register(
+    "cell_bbox_z7",
+    f"""
+WITH pts AS ({_PAGES}),
+enc AS (
+  SELECT DISTINCT {sq.tile_x_sql('lon', 7)} AS x, {sq.tile_y_sql('lat', 7)} AS y
+  FROM pts
+)
+SELECT x, y,
+  ROUND({sq.tile_lon_sql('x', 7)}, 9) AS west,
+  ROUND({sq.tile_lat_sql('(y + 1)', 7)}, 9) AS south,
+  ROUND({sq.tile_lon_sql('(x + 1)', 7)}, 9) AS east,
+  ROUND({sq.tile_lat_sql('y', 7)}, 9) AS north
+FROM enc
+""",
+)
+def cell_bbox_z7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vt_grid_spark.operators.encode import encode_points
+
+    enc = encode_points(_pts(spark, sf_dir), 7, with_quadkey=False)
+    cells = enc.select("x", "y").distinct()
+    return cells.select(
+        "x", "y",
+        F.round(vf.tile_lon(F.col("x"), 7), 9).alias("west"),
+        F.round(vf.tile_lat(F.col("y") + F.lit(1), 7), 9).alias("south"),
+        F.round(vf.tile_lon(F.col("x") + F.lit(1), 7), 9).alias("east"),
+        F.round(vf.tile_lat(F.col("y"), 7), 9).alias("north"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# O5/g5: salted two-phase aggregation == plain aggregation (skew handling
+# is semantically invisible; the corpus has a 20% hot-cell cluster)
+# ---------------------------------------------------------------------------
+
+@register(
+    "salted_agg_equivalence",
+    f"""
+WITH pts AS ({_PAGES}),
+enc AS (
+  SELECT {sq.tile_x_sql('lon', 8)} AS x, {sq.tile_y_sql('lat', 8)} AS y, lang
+  FROM pts
+)
+SELECT x >> 1 AS x, y >> 1 AS y, COUNT(*) AS cnt,
+       string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+FROM enc GROUP BY 1, 2
+""",
+)
+def salted_agg_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runs the engine's SALTED two-phase rollup (holistic union reducer
+    forces the salt path) over the skewed corpus; the oracle is the plain
+    single-phase aggregation — equality proves salting is transparent."""
+    from vt_grid_spark.operators.encode import cell_aggregate, encode_points
+    from vt_grid_spark.operators.rollup import rollup_level
+    from vt_grid_spark.plans.aggspec import AggSpec, compile_aggs
+
+    specs = [AggSpec(out="cnt", reducer="count"),
+             AggSpec(out="langs", reducer="union", field="lang")]
+    enc = encode_points(_pts(spark, sf_dir), 8, with_quadkey=False)
+    cells = cell_aggregate(enc, 8, compile_aggs(specs))
+    lvl = rollup_level(cells, 8, specs, salt_buckets=8)
+    return lvl.select("x", "y", "cnt", F.array_join("langs", ",").alias("langs"))
+
+
+# ---------------------------------------------------------------------------
+# kNN cell-bucketed variant and vector->raster (rows-only: non-SQL shapes)
+# ---------------------------------------------------------------------------
+
+@register("knn_cells_top10")  # rows-only; equality with brute force in pytest
+def knn_cells_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vt_grid_spark.operators.knn import knn_cells
+
+    queries = spark.createDataFrame(_KNN_QUERIES, "qid long, lon double, lat double")
+    out = knn_cells(_pts(spark, sf_dir), queries, 10, z=6, ring=1)
+    return out.select("qid", F.col("rank").cast("long").alias("rank"), "url", "d2")
+
+
+@register("cells_to_raster_roundtrip")  # rows-only; exact roundtrip in pytest
+def cells_to_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vt_grid_spark.operators.raster import cells_to_raster, raster_to_cells
+
+    k = 4
+    side2 = (1 << k) ** 2
+    blocks = spark.range(16).select(
+        F.lit(8).alias("tile_z"),
+        (F.col("id") % 4 + 50).alias("tile_x"),
+        ((F.col("id") / 4).cast("long") + 60).alias("tile_y"),
+        F.transform(F.sequence(F.lit(0), F.lit(side2 - 1)),
+                    lambda p: ((F.col("id") * 13 + p * 3) % 89).cast("double")).alias("band"),
+    )
+    back = cells_to_raster(raster_to_cells(blocks, k=k, drop_zero=False), k=k)
+    return back.select("tile_z", "tile_x", "tile_y",
+                       F.round(F.aggregate("band", F.lit(0.0), lambda a, v: a + v), 6).alias("band_sum"))
