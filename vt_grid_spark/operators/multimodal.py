@@ -44,25 +44,22 @@ def html_features(df: DataFrame, html_col: str = "html",
 
     def gen(batches: Iterator) -> Iterator:
         import pandas as pd
-        import re
 
-        tag_re = re.compile(rb"<[^>]+>")
+        tag_re = r"<[^>]+>"
         for pdf in batches:
-            html = pdf[html_col]
-            urls = pdf[url_col]
-            n_bytes, n_tags, texts, ws, hs = [], [], [], [], []
-            for b in html:
-                raw = bytes(b)
-                n_bytes.append(len(raw))
-                tags = tag_re.findall(raw)
-                n_tags.append(len(tags))
-                texts.append(tag_re.sub(b"", raw).decode("utf-8", errors="replace"))
-                w, h, _ = fake_decode_features(raw)
-                ws.append(w)
-                hs.append(h)
+            n_bytes = pdf[html_col].map(len)
+            # vectorized pandas string kernels over the whole Arrow batch —
+            # no per-row Python loop (north_rule)
+            s = pdf[html_col].map(bytes).str.decode("utf-8", errors="replace")
+            n_tags = s.str.count(tag_re)
+            texts = s.str.replace(tag_re, "", regex=True)
             yield pd.DataFrame({
-                "url": urls, "n_bytes": n_bytes, "n_tags": n_tags,
-                "text_extracted": texts, "fake_w": ws, "fake_h": hs,
+                "url": pdf[url_col],
+                "n_bytes": n_bytes,
+                "n_tags": n_tags,
+                "text_extracted": texts,
+                "fake_w": (n_bytes % 640 + 1).astype("int32"),
+                "fake_h": ((n_bytes * 7) % 480 + 1).astype("int32"),
             })
 
     return df.mapInPandas(gen, schema=HTML_FEATURES_SCHEMA)
