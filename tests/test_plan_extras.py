@@ -71,3 +71,30 @@ def test_unknown_reducer_rejected():
     # mirrors /root/reference/bin/vt-grid:39-41
     with pytest.raises(ValueError, match="unknown reducer"):
         AggSpec(out="x", reducer="median", field="v")
+
+
+def test_geojson_export_view(spark):
+    """S5 NDJSON sink semantics: valid GeoJSON Features with the
+    reference's property layout (aggregates + layer + _quadKey)."""
+    import json
+
+    from vt_grid_spark.operators.encode import cell_aggregate, encode_points
+    from vt_grid_spark.sources.export import geojson_view
+
+    pts = pages.with_coords(pages.pages_df(spark, 500))
+    cells = cell_aggregate(encode_points(pts, 6), 6,
+                           compile_aggs([AggSpec(out="cnt", reducer="count")]))
+    out = geojson_view(cells, 6, ["cnt"], layer="pages").collect()
+    assert len(out) == cells.count()
+    feat = json.loads(out[0].feature)
+    assert feat["type"] == "Feature"
+    assert feat["geometry"]["type"] == "Polygon"
+    ring = feat["geometry"]["coordinates"][0]
+    assert len(ring) == 5 and ring[0] == ring[4]
+    assert set(feat["properties"]) == {"cnt", "layer", "_quadKey"}
+    assert len(feat["properties"]["_quadKey"]) == 6
+    # cell polygon derives from the quadkey exactly
+    from vt_grid_spark import tilemath as tm
+    x, y, z = tm.quadkey_to_tile(feat["properties"]["_quadKey"])
+    w, s, e, n = tm.tile_to_bbox(x, y, z)
+    assert abs(ring[0][0] - float(w)) < 1e-12 and abs(ring[0][1] - float(s)) < 1e-12
