@@ -1,7 +1,7 @@
 """Training-data-pipeline operator queries: dedup, similarity, text
 analysis, multimodal plumbing — each with a DuckDB oracle mirroring the
 same algorithm (hashes are md5-derived so both engines agree bit-for-bit;
-see tests/test_dedup.py for the Spark<->DuckDB kernel cross-checks).
+see tests/test_dedup_similarity.py for the Spark<->DuckDB kernel cross-checks).
 """
 
 from __future__ import annotations
@@ -82,7 +82,7 @@ def minhash_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # MinHash LSH near-dup pairs (same algorithm mirrored in SQL; exact-recall
-# comparison vs ngram_jaccard_pairs lives in tests/test_dedup.py)
+# comparison vs ngram_jaccard_pairs lives in tests/test_dedup_similarity.py)
 # ---------------------------------------------------------------------------
 
 _SIG_MATCHES = " + ".join(
