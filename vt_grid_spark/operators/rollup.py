@@ -33,10 +33,33 @@ def _has_holistic(specs: list[AggSpec]) -> bool:
     return any(s.reducer in HOLISTIC for s in specs)
 
 
+def _required_rollup_cols(specs: list[AggSpec]) -> list[str]:
+    """Input columns a rollup consumes.  Rollup input is by contract the
+    OUTPUT of compile_aggs/compile_rollup_aggs: the aggregate lives under
+    ``spec.out`` (partials under ``out__*``) — ``spec.field`` names the
+    base-level input column and is never read again above the base level."""
+    cols: list[str] = []
+    for s in specs:
+        if s.reducer == "mean":
+            cols += [f"{s.out}__cnt", f"{s.out}__sum"]
+        elif s.reducer == "areaWeightedMean":
+            cols += [f"{s.out}__w", f"{s.out}__wv"]
+        else:
+            cols.append(s.out)
+    return cols
+
+
 def rollup_level(cells: DataFrame, child_z: int, specs: list[AggSpec],
                  salt_buckets: int = 0, extra_keys: list[str] | None = None) -> DataFrame:
     """Aggregate cells at child_z into their parents at child_z - 1."""
     z = child_z - 1
+    missing = [c for c in _required_rollup_cols(specs) if c not in cells.columns]
+    if missing:
+        raise ValueError(
+            f"rollup input is missing aggregate columns {missing}: rollup "
+            "consumes the OUTPUT of a previous cell_aggregate/rollup_level "
+            "(columns named spec.out / spec.out__*), not raw feature columns "
+            "(spec.field is only read at the base level)")
     exprs = compile_rollup_aggs(specs)
     keys = extra_keys or []
 

@@ -104,7 +104,12 @@ def compile_aggs(specs: list[AggSpec]) -> list[Column]:
 
 
 def compile_rollup_aggs(specs: list[AggSpec]) -> list[Column]:
-    """Level z -> z-1 aggregate expressions over the partial columns."""
+    """Level z -> z-1 aggregate expressions over the partial columns.
+
+    Reads ``spec.out`` (and ``out__*`` partials), NOT ``spec.field``:
+    rollup input is by contract the output of :func:`compile_aggs`, where
+    the base-level ``field`` has already been folded into ``out``.
+    ``rollup_level`` validates the input frame against this contract."""
     out: list[Column] = []
     for s in specs:
         if s.reducer in ("count", "sum", "areaWeightedSum", "totalArea"):

@@ -361,10 +361,7 @@ def pip_rect_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _KNN_QUERIES = [(1, -74.0, 40.7), (2, 10.1, 50.3), (3, 139.7, 35.6), (4, -58.4, -34.6)]
 
-
-@register(
-    "knn_top10",
-    f"""
+_KNN_ORACLE = f"""
 WITH pts AS ({_PAGES}),
 q(qid, qlon, qlat) AS (VALUES {", ".join(f"({a}, {b}, {c})" for a, b, c in _KNN_QUERIES)}),
 c AS (
@@ -377,8 +374,10 @@ SELECT qid, rank, url, d2 FROM (
          row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, url ASC) AS rank
   FROM c
 ) WHERE rank <= 10
-""",
-)
+"""
+
+
+@register("knn_top10", _KNN_ORACLE)
 def knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vt_grid_spark.operators.knn import knn_bruteforce
 
@@ -498,7 +497,7 @@ def salted_agg_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # kNN cell-bucketed variant and vector->raster (rows-only: non-SQL shapes)
 # ---------------------------------------------------------------------------
 
-@register("knn_cells_top10")  # rows-only; equality with brute force in pytest
+@register("knn_cells_top10", _KNN_ORACLE)  # exact (safety-radius escalation)
 def knn_cells_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vt_grid_spark.operators.knn import knn_cells
 

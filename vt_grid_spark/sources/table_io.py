@@ -1,11 +1,15 @@
 """Zoom-partitioned table IO with per-level manifests (checkpoint/resume).
 
-"Iceberg" as an interface (SURVEY.md §7 g6): when an Iceberg catalog is
-configured the same calls go through ``spark.table``/``writeTo``; in this
-sandbox (no Iceberg runtime jar) the backend is parquet partitioned by
-``zoom=<z>`` plus a JSON manifest per level carrying what the north rule
-asks for: input lineage, per-partition row counts, and status — so a
-killed pyramid build resumes from the last complete zoom.
+"Iceberg" as an interface (SURVEY.md §7 g6): this class IS the seam — the
+pyramid driver only calls ``write_level`` / ``read_level`` /
+``level_complete`` / ``read_manifest``.  The backend shipped here is
+parquet partitioned by ``zoom=<z>`` plus a JSON manifest per level
+carrying what the north rule asks for: input lineage, per-partition row
+counts, and status — so a killed pyramid build resumes from the last
+complete zoom.  A catalog-backed variant (``df.writeTo(table)`` /
+``spark.table`` + snapshot-id lineage) would subclass and override those
+four methods; it is NOT shipped because no Iceberg runtime jar exists in
+this environment to test it against.
 """
 
 from __future__ import annotations
