@@ -98,3 +98,28 @@ def test_geojson_export_view(spark):
     x, y, z = tm.quadkey_to_tile(feat["properties"]["_quadKey"])
     w, s, e, n = tm.tile_to_bbox(x, y, z)
     assert abs(ring[0][0] - float(w)) < 1e-12 and abs(ring[0][1] - float(s)) < 1e-12
+
+
+def test_parse_agg_strings_reference_semantics():
+    """CLI strings parse like /root/reference/bin/vt-grid:30-44: output
+    property = field name, one spec per string, unknown reducers raise."""
+    from vt_grid_spark.plans.aggspec import parse_agg_strings
+
+    aggs = parse_agg_strings(["roads:sum(km)", "roads:count(n)", "pop:areaWeightedMean(density)"])
+    assert set(aggs) == {"roads", "pop"}
+    assert [(s.out, s.reducer, s.field) for s in aggs["roads"]] == [
+        ("km", "sum", "km"), ("n", "count", "n")]
+    assert aggs["pop"][0].reducer == "areaWeightedMean"
+    with pytest.raises(ValueError, match="Unknown|unknown"):
+        parse_agg_strings(["roads:frobnicate(km)"])
+    with pytest.raises(ValueError, match="bad aggregation string"):
+        parse_agg_strings(["no-parens"])
+
+
+def test_rollup_validates_input_contract(spark):
+    """rollup_level must reject a frame that lacks the spec.out aggregate
+    columns (ADVICE r1: silent misuse when out != field)."""
+    pts = pages.with_coords(pages.pages_df(spark, 50))
+    enc = encode_points(pts, 6, with_quadkey=False)
+    with pytest.raises(ValueError, match="missing aggregate columns"):
+        rollup_level(enc, 6, [AggSpec(out="total", reducer="sum", field="n")])

@@ -83,6 +83,21 @@ def tile_lat(y: Column, z: int) -> Column:
     return F.degrees(F.atan(F.lit(0.5) * (F.exp(n) - F.exp(-n))))
 
 
+def degenerate_pass_point(lon: Column, lat: Column, x: Column, y: Column,
+                          z: int) -> Column:
+    """Strict-interior degenerate test for a POINT feature against its
+    cell at zoom z, as a pure column expression — the single-vertex case
+    of /root/reference/lib/degenerate.js:10-47 (Point rule line 28): the
+    point must lie strictly MORE than eps inside all four cell edges,
+    eps = 0.087 / 4^z (degenerate.js:12-14)."""
+    eps = F.lit(0.087 / (4.0 ** z))
+    w = tile_lon(x, z)
+    e = tile_lon(x + F.lit(1), z)
+    s = tile_lat(y + F.lit(1), z)
+    n = tile_lat(y, z)
+    return (lon - w > eps) & (e - lon > eps) & (lat - s > eps) & (n - lat > eps)
+
+
 def tile_bbox(x: Column, y: Column, z: int) -> Column:
     """struct(west, south, east, north) of the cell — derived on demand,
     never stored (the grouping key is the quadkey / (x,y) ints)."""

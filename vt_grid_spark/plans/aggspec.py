@@ -25,6 +25,7 @@ applied after the agg.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -58,6 +59,34 @@ class AggSpec:
             raise ValueError(
                 f"unknown reducer {self.reducer!r}; valid: {sorted(VALID_REDUCERS)}"
                 " (reference rejects unknown names the same way, bin/vt-grid:39-41)")
+
+
+# the reference's CLI aggregation-string pattern 'layer:func(field)'
+# (/root/reference/bin/vt-grid:33)
+_AGG_STRING_RE = re.compile(r"([^:]+):([^(]+)\((.*)\)")
+
+
+def parse_agg_strings(args: list[str]) -> dict[str, list[AggSpec]]:
+    """Parse vt-grid CLI aggregation strings into per-layer specs.
+
+    Mirrors /root/reference/bin/vt-grid:30-44: each string is
+    ``layer:func(field)``; the output property is named after the field
+    (``aggregations[layer][fieldName] = fn``); unknown reducer names raise
+    (bin/vt-grid:39-41 — here via AggSpec validation).  ``count()`` with an
+    argument names the output count column, like the reference's
+    ``count(outField)`` reducer signature."""
+    out: dict[str, list[AggSpec]] = {}
+    for s in args:
+        m = _AGG_STRING_RE.search(s)
+        if not m:
+            raise ValueError(
+                f"bad aggregation string {s!r}: expected 'layer:func(field)'"
+                " (reference bin/vt-grid:33)")
+        layer, fn, fieldname = m.group(1), m.group(2), m.group(3)
+        spec = AggSpec(out=fieldname or fn, reducer=fn,
+                       field=fieldname or None)
+        out.setdefault(layer, []).append(spec)
+    return out
 
 
 @dataclass

@@ -422,6 +422,9 @@ def raster_to_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # second operator batch registers itself on import (dedup/similarity/text/multimodal)
 from vt_grid_spark import queries_text  # noqa: E402,F401
+# round-2 coverage batch (degenerate filter, polygon clip, custom reducer,
+# export view, progeny/children, manifests, agg-spec parse)
+from vt_grid_spark import queries_extras  # noqa: E402,F401
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,389 @@
+"""Round-2 coverage queries: oracle registrations for the SURVEY.md §2
+operators that round 1 left pytest-only (r1 VERDICT 'What's missing' #1 —
+P1 degenerate filter, G3 polygon clip, A5 custom reducers, S5 export view
++ F4 JSON round-trip, G5/G6 progeny/children, S1 manifests, F5 agg-spec
+parse).  Each query drives the REAL operator code path; the DuckDB oracle
+recomputes the expected result from first principles (closed forms, never
+a stored snapshot of our own output).
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from vt_grid_spark import functions as vf
+from vt_grid_spark import tilemath as tm
+from vt_grid_spark.functions import sqltext as sq
+from vt_grid_spark.queries import _ANCESTORS, _PAGES, _pts, register
+
+# ---------------------------------------------------------------------------
+# P1: degenerate-feature filter, point form — epsilon-boundary probe
+# (/root/reference/lib/degenerate.js:10-47; eps = 0.087/4^z, line 12-14)
+# ---------------------------------------------------------------------------
+
+_DEG_Z = 6
+_DEG_EPS = 0.087 / (4.0 ** _DEG_Z)
+# offsets from a cell's west edge: -eps (lands in the neighbor cell and
+# fails ITS east test), exactly on, half-eps, exactly eps (strict > fails),
+# 2*eps (the only pass) — pins the strict-inequality + eps semantics
+_DEG_OFFS = [-_DEG_EPS, 0.0, _DEG_EPS * 0.5, _DEG_EPS, _DEG_EPS * 2.0]
+
+_DEG_PASS_SQL = (
+    f"(lon - {sq.tile_lon_sql('x', _DEG_Z)} > {_DEG_EPS!r})"
+    f" AND ({sq.tile_lon_sql('(x + 1)', _DEG_Z)} - lon > {_DEG_EPS!r})"
+    f" AND (lat - {sq.tile_lat_sql('(y + 1)', _DEG_Z)} > {_DEG_EPS!r})"
+    f" AND ({sq.tile_lat_sql('y', _DEG_Z)} - lat > {_DEG_EPS!r})"
+)
+
+
+@register(
+    "degenerate_filter_eps_z6",
+    f"""
+WITH pts AS (
+  SELECT (CAST(i % 64 AS DOUBLE) / 64.0 * 360.0 - 180.0)
+         + ([{", ".join(repr(o) for o in _DEG_OFFS)}])[CAST(i % 5 AS INT) + 1] AS lon,
+         20.000123 AS lat
+  FROM (SELECT range AS i FROM range(0, 4096))
+),
+enc AS (
+  SELECT {sq.tile_x_sql('lon', _DEG_Z)} AS x, {sq.tile_y_sql('lat', _DEG_Z)} AS y,
+         lon, lat
+  FROM pts
+)
+SELECT x, y,
+  CAST(SUM(CASE WHEN {_DEG_PASS_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+  COUNT(*) AS n_total
+FROM enc GROUP BY x, y
+""",
+)
+def degenerate_filter_eps_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Points planted at controlled offsets around z6 cell edges; pass
+    counts pin the strict-interior eps rule bit-for-bit (polygon/line
+    forms + the reference 4/12, 4/16 fixtures live in
+    tests/test_clip_degenerate.py)."""
+    from vt_grid_spark.operators.encode import encode_points
+
+    i = F.col("id")
+    off = F.element_at(F.array(*[F.lit(o) for o in _DEG_OFFS]),
+                       (i % 5 + 1).cast("int"))
+    pts = spark.range(4096).select(
+        ((i % 64).cast("double") / F.lit(64.0) * F.lit(360.0) - F.lit(180.0)
+         + off).alias("lon"),
+        F.lit(20.000123).alias("lat"),
+    )
+    enc = encode_points(pts, _DEG_Z, with_quadkey=False)
+    flag = vf.degenerate_pass_point(F.col("lon"), F.col("lat"),
+                                    F.col("x"), F.col("y"), _DEG_Z)
+    return enc.groupBy("x", "y").agg(
+        F.sum(F.when(flag, 1).otherwise(0)).alias("n_pass"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G3: raw-path polygon clip (quadtree Sutherland–Hodgman,
+# /root/reference/lib/aggregate-cells.js:54-83) — axis-aligned rectangles,
+# so the oracle has a closed-form spherical intersection area
+# ---------------------------------------------------------------------------
+
+_R2 = 6378137.0 * 6378137.0  # WGS84 sphere, matches clip.ring_area_sq_m
+_CLIP_Z = 7
+_CLIP_EPS = 0.087 / (4.0 ** _CLIP_Z)
+_RECT_W = "(-180.0 + CAST(n_nationkey * 13 % 330 AS DOUBLE) + 0.0005)"
+_RECT_S = "(-80.0 + CAST(n_nationkey * 17 % 140 AS DOUBLE) + 0.0005)"
+
+_CLIP_CELL_W = sq.tile_lon_sql("x", _CLIP_Z)
+_CLIP_CELL_E = sq.tile_lon_sql("(x + 1)", _CLIP_Z)
+_CLIP_CELL_S = sq.tile_lat_sql("(y + 1)", _CLIP_Z)
+_CLIP_CELL_N = sq.tile_lat_sql("y", _CLIP_Z)
+
+
+@register(
+    "polygon_clip_rect_z7",
+    f"""
+WITH rects AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS feature_id,
+         {_RECT_W} AS w, {_RECT_S} AS s,
+         {_RECT_W} + 12.0 AS e, {_RECT_S} + 10.0 AS n
+  FROM nation
+),
+cx AS (
+  SELECT *, unnest(generate_series({sq.tile_x_sql('w', _CLIP_Z)},
+                                   {sq.tile_x_sql('e', _CLIP_Z)})) AS x
+  FROM rects
+),
+cells AS (
+  SELECT *, unnest(generate_series({sq.tile_y_sql('n', _CLIP_Z)},
+                                   {sq.tile_y_sql('s', _CLIP_Z)})) AS y
+  FROM cx
+),
+ix AS (
+  SELECT feature_id, x, y,
+         GREATEST(w, {_CLIP_CELL_W}) AS iw, LEAST(e, {_CLIP_CELL_E}) AS ie,
+         GREATEST(s, {_CLIP_CELL_S}) AS iss, LEAST(n, {_CLIP_CELL_N}) AS inn,
+         {_CLIP_CELL_W} AS cw, {_CLIP_CELL_E} AS ce,
+         {_CLIP_CELL_S} AS cs, {_CLIP_CELL_N} AS cn
+  FROM cells
+)
+SELECT feature_id, x, y,
+  ROUND({_R2!r} * RADIANS(ie - iw) * (SIN(RADIANS(inn)) - SIN(RADIANS(iss)))
+        / 1e6, 3) AS area_km2
+FROM ix
+WHERE (ie - cw > {_CLIP_EPS!r}) AND (ce - iw > {_CLIP_EPS!r})
+  AND (inn - cs > {_CLIP_EPS!r}) AND (cn - iss > {_CLIP_EPS!r})
+""",
+)
+def polygon_clip_rect_z7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25 nation-keyed rectangles through the REAL quadtree clip +
+    degenerate filter (operators/clip.py); rect∩cell is a rectangle, so
+    the oracle recomputes the spherical area in closed form (same ring
+    formula: R^2 * dLambda * (sin(latN) - sin(latS)))."""
+    from vt_grid_spark.operators.clip import clip_features_to_cells
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey").collect()
+    rows = []
+    for r in nat:
+        k = int(r.n_nationkey)
+        w = -180.0 + float(k * 13 % 330) + 0.0005
+        s = -80.0 + float(k * 17 % 140) + 0.0005
+        e, n = w + 12.0, s + 10.0
+        geom = {"type": "Polygon",
+                "coordinates": [[[w, s], [w, n], [e, n], [e, s], [w, s]]]}
+        rows.append((k, json.dumps(geom)))
+    df = spark.createDataFrame(rows, "feature_id long, geometry_json string")
+    cells = clip_features_to_cells(df, grid_z=_CLIP_Z, value_cols=[])
+    return cells.select(
+        "feature_id", "x", "y",
+        F.round(F.col("area") / F.lit(1e6), 3).alias("area_km2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A5: custom per-cell reducer via applyInPandas
+# (/root/reference/lib/aggregate.js:26-36 user-plugin surface; the tile
+# argument convention of lib/aggregate-cells.js:92)
+# ---------------------------------------------------------------------------
+
+@register(
+    "custom_reducer_median_z5",
+    f"""
+WITH pts AS ({_PAGES}),
+enc AS (
+  SELECT {sq.tile_x_sql('lon', 5)} AS x, {sq.tile_y_sql('lat', 5)} AS y,
+         CAST(length(text) AS DOUBLE) AS v
+  FROM pts
+)
+SELECT x, y, median(v) AS med, COUNT(*) AS n,
+       x >> 2 AS tile_x, y >> 2 AS tile_y
+FROM enc GROUP BY x, y
+""",
+)
+def custom_reducer_median_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A holistic reducer (median) no built-in AggSpec covers, as a user
+    plugin through apply_custom_reducer — Arrow-batched per cell group,
+    with the mapper-tile argument surfaced in the output (the reference
+    passes the tile to reducers the same way)."""
+    import numpy as np
+
+    from vt_grid_spark.operators.custom_reduce import apply_custom_reducer
+    from vt_grid_spark.operators.encode import encode_points
+
+    def med_fn(pdf, tile):
+        return {"med": float(np.median(pdf["v"].to_numpy())),
+                "n": len(pdf), "tile_x": int(tile[1]), "tile_y": int(tile[2])}
+
+    pts = _pts(spark, sf_dir).withColumn("v", F.length("text").cast("double"))
+    enc = encode_points(pts, 5, with_quadkey=False).select("x", "y", "v")
+    return apply_custom_reducer(
+        enc, cell_z=5, mapper_z=3, reduce_fn=med_fn,
+        result_schema="med double, n long, tile_x long, tile_y long")
+
+
+# ---------------------------------------------------------------------------
+# S5 + F4: GeoJSON export view round-trip — to_json of the cell feature,
+# parsed back with get_json_object (/root/reference/lib/aggregate.js:57-60)
+# ---------------------------------------------------------------------------
+
+@register(
+    "geojson_export_parse_z4",
+    f"""
+WITH pts AS ({_PAGES}),
+enc AS (
+  SELECT {sq.tile_x_sql('lon', 4)} AS x, {sq.tile_y_sql('lat', 4)} AS y, lang
+  FROM pts
+),
+cells AS (
+  SELECT x, y, COUNT(*) AS cnt,
+         '["' || string_agg(DISTINCT lang, '","' ORDER BY lang) || '"]' AS langs_json
+  FROM enc GROUP BY x, y
+)
+SELECT {sq.quadkey_sql('x', 'y', 4)} AS quadkey, 'Feature' AS ftype,
+       'pages' AS layer, cnt, langs_json,
+       ROUND({sq.tile_lon_sql('x', 4)}, 9) AS west,
+       ROUND({sq.tile_lat_sql('y', 4)}, 9) AS north
+FROM cells
+""",
+)
+def geojson_export_parse_z4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cells -> NDJSON feature strings (geojson_view, ring winding of
+    tilebelt.tileToGeoJSON) -> fields parsed back out of the JSON:
+    verifies the export JSON carries correct properties, _quadKey, layer
+    tag, union-array serialization and ring coordinates."""
+    from vt_grid_spark.operators.encode import cell_aggregate, encode_points
+    from vt_grid_spark.sources.export import geojson_view
+
+    enc = encode_points(_pts(spark, sf_dir), 4)
+    cells = cell_aggregate(enc, 4, [
+        F.count(F.lit(1)).alias("cnt"),
+        F.to_json(F.array_sort(F.collect_set("lang"))).alias("langs_json"),
+    ])
+    view = geojson_view(cells, 4, ["cnt", "langs_json"], layer="pages")
+    f = F.col("feature")
+    return view.select(
+        F.get_json_object(f, "$.properties._quadKey").alias("quadkey"),
+        F.get_json_object(f, "$.type").alias("ftype"),
+        F.get_json_object(f, "$.properties.layer").alias("layer"),
+        F.get_json_object(f, "$.properties.cnt").cast("long").alias("cnt"),
+        F.get_json_object(f, "$.properties.langs_json").alias("langs_json"),
+        F.round(F.get_json_object(f, "$.geometry.coordinates[0][0][0]")
+                .cast("double"), 9).alias("west"),
+        F.round(F.get_json_object(f, "$.geometry.coordinates[0][2][1]")
+                .cast("double"), 9).alias("north"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# G5/G6: progeny enumeration + children/parent key algebra
+# (/root/reference/lib/tile-util.js:15-55)
+# ---------------------------------------------------------------------------
+
+_ANC_XY = [tm.quadkey_to_tile(a)[:2] for a in _ANCESTORS]
+
+
+@register(
+    "progeny_children_z6",
+    f"""
+WITH anc(ax, ay) AS (VALUES {", ".join(f"({x}, {y})" for x, y in _ANC_XY)}),
+px AS (SELECT ax, ay, unnest(generate_series(0, 3)) AS dx FROM anc),
+pr AS (SELECT ax, ay, dx, unnest(generate_series(0, 3)) AS dy FROM px),
+g AS (
+  SELECT CAST(ax * 4 + dx AS BIGINT) AS x, CAST(ay * 4 + dy AS BIGINT) AS y,
+         ax, ay
+  FROM pr
+)
+SELECT {sq.quadkey_sql('ax', 'ay', 4)} AS anc, x, y,
+       {sq.quadkey_sql('x', 'y', 6)} AS quadkey,
+       {sq.quadkey_sql('(x >> 1)', '(y >> 1)', 5)} AS parent_qk
+FROM g
+""",
+)
+def progeny_children_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All z6 progeny of the three z4 ancestor tiles as DataFrame ops
+    (the meshgrid form of tile-util.js getProgeny), with each cell's
+    direct-parent quadkey (getParent == drop-last-char / (x>>1, y>>1))."""
+    anc = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in _ANC_XY], "ax long, ay long")
+    prog = (
+        anc.withColumn("_dx", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .withColumn("_dy", F.explode(F.sequence(F.lit(0), F.lit(3))))
+        .select(
+            "ax", "ay",
+            (F.shiftleft("ax", 2) + F.col("_dx")).alias("x"),
+            (F.shiftleft("ay", 2) + F.col("_dy")).alias("y"),
+        )
+    )
+    px, py = vf.parent_xy(F.col("x"), F.col("y"))
+    return prog.select(
+        vf.quadkey(F.col("ax"), F.col("ay"), 4).alias("anc"),
+        "x", "y",
+        vf.quadkey(F.col("x"), F.col("y"), 6).alias("quadkey"),
+        vf.quadkey(px, py, 5).alias("parent_qk"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# S1: metadata scan — per-level manifests of a checkpointed build carry
+# true row counts and completion status (the reference reads minzoom/
+# maxzoom/counts from MBTiles metadata, index.js:216-221)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pyramid_manifests",
+    f"""
+WITH pts AS ({_PAGES}),
+enc AS (
+  SELECT {sq.tile_x_sql('lon', 12)} AS x12, {sq.tile_y_sql('lat', 12)} AS y12
+  FROM pts
+),
+lv AS (
+  SELECT (12 - d) AS zoom, x12 >> d AS x, y12 >> d AS y
+  FROM enc, (SELECT range AS d FROM range(0, 7)) ds
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(zoom AS BIGINT) AS zoom, COUNT(*) AS row_count,
+       'complete' AS status, COUNT(*) AS files_total
+FROM lv GROUP BY zoom
+""",
+)
+def pyramid_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run a real checkpointed build (z12 cells -> z6) into a temp table
+    and answer from the MANIFESTS alone — proves the metadata surface
+    records true per-level row counts (footer-derived) and status."""
+    import shutil
+    import tempfile
+
+    from vt_grid_spark.operators.pyramid import build_pyramid
+    from vt_grid_spark.plans.aggspec import AggSpec
+    from vt_grid_spark.plans.pyramid_plan import PyramidPlan, ZoomBand
+    from vt_grid_spark.sources.table_io import TableIO
+
+    pts = _pts(spark, sf_dir)
+    plan = PyramidPlan(
+        bands=[ZoomBand(basezoom=13, minzoom=6,
+                        aggregations=[AggSpec(out="c", reducer="count")])],
+        gridsize=1)
+    d = tempfile.mkdtemp(prefix="vtgrid_manifest_q_")
+    try:
+        manifests = build_pyramid(pts, plan, TableIO(d), resume=False)
+        rows = [(int(m["zoom"]), int(m["row_count"]), str(m["status"]),
+                 int(sum(m["files"].values()))) for m in manifests.values()]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return spark.createDataFrame(
+        rows, "zoom long, row_count long, status string, files_total long")
+
+
+# ---------------------------------------------------------------------------
+# F5: aggregation-spec string parse -> executed plan
+# (/root/reference/bin/vt-grid:27-45)
+# ---------------------------------------------------------------------------
+
+@register(
+    "aggspec_parse_z5",
+    f"""
+WITH pts AS ({_PAGES}),
+enc AS (
+  SELECT {sq.tile_x_sql('lon', 5)} AS x, {sq.tile_y_sql('lat', 5)} AS y,
+         length(text) AS chars
+  FROM pts
+)
+SELECT x, y, COUNT(*) AS cnt, CAST(SUM(chars) AS BIGINT) AS chars
+FROM enc GROUP BY x, y
+""",
+)
+def aggspec_parse_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLI-style strings 'pages:count(cnt)' / 'pages:sum(chars)' parsed by
+    parse_agg_strings (reference regex semantics: output property = field
+    name, unknown reducers rejected) and EXECUTED as the compiled plan."""
+    from vt_grid_spark.operators.encode import cell_aggregate, encode_points
+    from vt_grid_spark.plans.aggspec import compile_aggs, parse_agg_strings
+
+    aggs = parse_agg_strings(["pages:count(cnt)", "pages:sum(chars)"])
+    specs = aggs["pages"]
+    pts = _pts(spark, sf_dir).withColumn("chars", F.length("text").cast("long"))
+    enc = encode_points(pts, 5, with_quadkey=False)
+    out = cell_aggregate(enc, 5, compile_aggs(specs))
+    return out.select("x", "y", "cnt", "chars")
