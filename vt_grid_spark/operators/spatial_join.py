@@ -12,8 +12,10 @@ by the north rule.  Design for 100 TB:
   3. REFINE: exact even-odd ray-casting test, vectorized numpy inside a
      pandas UDF over Arrow batches (only candidate rows pay it).
 
-Interior cells could skip refinement (cell fully inside polygon); tracked
-as cover metadata ``full`` so the refine predicate short-circuits.
+Interior cells skip refinement entirely: the cover marks cells wholly
+inside a polygon ``full``, and the candidate set is split JVM-side on that
+flag — full-cell rows are accepted with no Arrow crossing, only
+boundary-cell rows pay the exact test.
 """
 
 from __future__ import annotations
@@ -83,31 +85,25 @@ def points_in_polygon_numpy(lon: np.ndarray, lat: np.ndarray, rings: list) -> np
 
 def _make_pip_udf(geoms: dict):
     """Vectorized refine UDF with the polygon dict captured in the closure
-    (broadcast with the task) — only (lon, lat, poly_id, full) cross Arrow,
-    not a geometry string per row.  Rows flagged ``full`` (cell wholly
-    inside the polygon) short-circuit to True inside the kernel, so the
-    exact test runs only on boundary-cell rows — all in ONE pass over the
-    candidates (a separate full/partial branch would rescan the whole
-    upstream pipeline twice)."""
+    (broadcast with the task) — only (lon, lat, poly_id) cross Arrow, not
+    a geometry string per row.  It is applied ONLY to boundary-cell rows:
+    the candidate set is split JVM-side on the cover's ``full`` flag, so
+    rows in cells wholly inside a polygon never pay the Arrow transfer at
+    all (r1 bench: ~most of pip wall time was full-cell rows crossing into
+    Python just to return True)."""
 
-    def kernel(lon: pd.Series, lat: pd.Series, poly_id: pd.Series,
-               full: pd.Series) -> pd.Series:
-        n = len(lon)
-        out = np.zeros(n, dtype=bool)
-        full_v = full.to_numpy(dtype=bool)
-        out[full_v] = True
-        todo = np.nonzero(~full_v)[0]
-        if len(todo):
-            lon_v = lon.to_numpy(dtype=np.float64)[todo]
-            lat_v = lat.to_numpy(dtype=np.float64)[todo]
-            pid_v = poly_id.to_numpy()[todo]
-            for pid in pd.unique(pid_v):
-                polys = geoms[pid]
-                pos = np.nonzero(pid_v == pid)[0]
-                hit = np.zeros(len(pos), dtype=bool)
-                for rings in polys:
-                    hit |= points_in_polygon_numpy(lon_v[pos], lat_v[pos], rings)
-                out[todo[pos]] = hit
+    def kernel(lon: pd.Series, lat: pd.Series, poly_id: pd.Series) -> pd.Series:
+        lon_v = lon.to_numpy(dtype=np.float64)
+        lat_v = lat.to_numpy(dtype=np.float64)
+        pid_v = poly_id.to_numpy()
+        out = np.zeros(len(lon_v), dtype=bool)
+        for pid in pd.unique(pid_v):
+            polys = geoms[pid]
+            pos = np.nonzero(pid_v == pid)[0]
+            hit = np.zeros(len(pos), dtype=bool)
+            for rings in polys:
+                hit |= points_in_polygon_numpy(lon_v[pos], lat_v[pos], rings)
+            out[pos] = hit
         return pd.Series(out)
 
     return pandas_udf(kernel, "boolean")
@@ -141,6 +137,13 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame, z: int = 9,
 
     enc = encode_points(points, z, lon=lon, lat=lat, with_quadkey=False)
     cand = enc.join(F.broadcast(cover), ["x", "y"])
+    # JVM-side split on the cover's `full` flag: rows in cells wholly
+    # inside a polygon are accepted with ZERO Arrow traffic; only
+    # boundary-cell rows enter the exact-refine UDF.  The split sits
+    # AFTER the broadcast join, so the upstream scan+encode is narrow and
+    # cheap to evaluate per branch (no shuffle is repeated).
+    inside = cand.where(F.col("full"))
     pip_udf = _make_pip_udf(geoms)
-    out = cand.where(pip_udf(F.col(lon), F.col(lat), F.col(poly_id), F.col("full")))
-    return out.drop("x", "y", "zoom", "full")
+    boundary = cand.where(~F.col("full")).where(
+        pip_udf(F.col(lon), F.col(lat), F.col(poly_id)))
+    return inside.unionByName(boundary).drop("x", "y", "zoom", "full")
