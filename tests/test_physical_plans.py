@@ -67,6 +67,47 @@ def test_pip_join_broadcasts_cover(spark):
     assert p.count("ArrowEvalPython") == 1  # exactly one vectorized refine
 
 
+def test_bbox_cover_pushdown(spark, tmp_path):
+    """The bbox cover's raw lon/lat prefilter must reach the parquet scan
+    (PushedFilters) — at 100 TB this is the difference between reading the
+    window and reading the world."""
+    from vt_grid_spark.operators.pyramid import build_pyramid_df
+    from vt_grid_spark.plans.aggspec import AggSpec
+    from vt_grid_spark.plans.pyramid_plan import PyramidPlan, ZoomBand
+    from vt_grid_spark.sources import pages
+
+    path = str(tmp_path / "pts.parquet")
+    pages.with_coords(pages.pages_df(spark, 2000)).select(
+        "url", "lon", "lat").write.parquet(path)
+    raw = spark.read.parquet(path)
+    plan = PyramidPlan(
+        bands=[ZoomBand(basezoom=10, minzoom=8,
+                        aggregations=[AggSpec(out="cnt", reducer="count")])],
+        gridsize=1, bbox=(-10.0, 35.0, 25.0, 58.0))
+    p = plan_str(build_pyramid_df(raw, plan))
+    assert "GreaterThanOrEqual(lon" in p and "LessThanOrEqual(lon" in p
+    assert "GreaterThanOrEqual(lat" in p and "LessThanOrEqual(lat" in p
+
+
+def test_bbox_and_tiles_cover_semantics(spark):
+    """Cover filter == manual cell-range restriction of the full build."""
+    from vt_grid_spark.operators.encode import (cover_cell_predicate,
+                                                cover_ranges, encode_points)
+    from vt_grid_spark.sources import pages
+
+    pts = pages.with_coords(pages.pages_df(spark, 2000))
+    enc = encode_points(pts, 9, with_quadkey=False)
+    ranges = cover_ranges(9, bbox=(-10.0, 35.0, 25.0, 58.0),
+                          tiles=[(4, 3, 6)])
+    got = enc.where(cover_cell_predicate(ranges)).groupBy("x", "y").count()
+    want = {}
+    for r in enc.groupBy("x", "y").count().collect():
+        if any(x0 <= r.x <= x1 and y0 <= r.y <= y1 for x0, x1, y0, y1 in ranges):
+            want[(r.x, r.y)] = r["count"]
+    assert {(r.x, r.y): r["count"] for r in got.collect()} == want
+    assert len(want) > 10
+
+
 def test_minhash_refine_no_broadcast(spark):
     """Corpus-sized tables (signatures, shingle sets) must reach the refine
     joins by SHUFFLE, never broadcast — a broadcast of a per-document table

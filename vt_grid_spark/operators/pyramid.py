@@ -14,7 +14,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from vt_grid_spark import tilemath as tm
-from vt_grid_spark.operators.encode import cell_aggregate, encode_points
+from vt_grid_spark.operators.encode import (cell_aggregate, cover_cell_predicate,
+                                            cover_lonlat_predicate, cover_ranges,
+                                            encode_points)
 from vt_grid_spark.operators.rollup import rollup_level
 from vt_grid_spark.plans.aggspec import AggSpec, compile_aggs
 from vt_grid_spark.plans.pyramid_plan import PyramidPlan
@@ -62,6 +64,19 @@ def _rollup_small_pandas(pdf, child_z: int, specs: list[AggSpec]):
     return out
 
 
+def _apply_cover(points: DataFrame, plan: PyramidPlan, cell_z: int) -> DataFrame:
+    """Encode at cell_z, restricted to the plan's bbox / tile-list cover
+    (reference index.js:113-122).  Two-stage filter: a conservative lon/lat
+    range predicate on the RAW columns first (reaches the parquet scan as
+    PushedFilters — partition/row-group pruning), then the exact integer
+    cell-range predicate on the encoded key."""
+    ranges = cover_ranges(cell_z, plan.bbox, plan.tiles)
+    if not ranges:
+        return encode_points(points, cell_z)
+    pre = points.where(cover_lonlat_predicate(ranges, cell_z))
+    return encode_points(pre, cell_z).where(cover_cell_predicate(ranges))
+
+
 def build_pyramid(points: DataFrame, plan: PyramidPlan, io: TableIO,
                   resume: bool = True, repartition: int | None = None) -> dict:
     """points(lon, lat, value columns) -> one written level per output zoom.
@@ -83,7 +98,7 @@ def build_pyramid(points: DataFrame, plan: PyramidPlan, io: TableIO,
     if resume and io.level_complete(base_cell_z):
         manifests[base_cell_z] = io.read_manifest(base_cell_z)
     else:
-        encoded = encode_points(points, base_cell_z)
+        encoded = _apply_cover(points, plan, base_cell_z)
         if repartition:
             encoded = encoded.repartition(repartition, "x", "y")
         base = cell_aggregate(encoded, base_cell_z, compile_aggs(base_band.aggregations))
@@ -133,7 +148,7 @@ def build_pyramid_df(points: DataFrame, plan: PyramidPlan) -> DataFrame:
     to disk is unnecessary."""
     levels = list(plan.levels())
     _, base_cell_z, base_band = levels[0]
-    encoded = encode_points(points, base_cell_z)
+    encoded = _apply_cover(points, plan, base_cell_z)
     cur = cell_aggregate(encoded, base_cell_z, compile_aggs(base_band.aggregations))
     out = [cur]
     prev_cell_z = base_cell_z

@@ -40,6 +40,11 @@ class PyramidPlan:
     salt_buckets: int = 16
     hot_key_threshold: int = 2_000_000
     layer: str = "layer"
+    # cover restriction (reference index.js:113-122): build only over the
+    # cells intersecting `bbox` (w, s, e, n) and/or the progeny of explicit
+    # `tiles` [(z, x, y), ...]; None + None = sourceCover (all data)
+    bbox: tuple | None = None
+    tiles: list | None = None
 
     def __post_init__(self):
         self.bands = sorted(self.bands, key=lambda b: -b.basezoom)

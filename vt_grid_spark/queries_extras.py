@@ -357,6 +357,53 @@ def pyramid_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S2: bbox-restricted build (reference index.js:113-119 tile-cover option)
+# ---------------------------------------------------------------------------
+
+_COVER_BBOX = (-10.0, 35.0, 25.0, 58.0)  # western-Europe-ish window
+
+
+@register(
+    "bbox_cover_build_z9",
+    f"""
+WITH pts AS ({_PAGES}),
+enc AS (
+  SELECT {sq.tile_x_sql('lon', 9)} AS x, {sq.tile_y_sql('lat', 9)} AS y
+  FROM pts
+),
+cov AS (
+  SELECT x, y FROM enc
+  WHERE x BETWEEN {sq.tile_x_sql(repr(_COVER_BBOX[0]), 9)}
+              AND {sq.tile_x_sql(repr(_COVER_BBOX[2]), 9)}
+    AND y BETWEEN {sq.tile_y_sql(repr(_COVER_BBOX[3]), 9)}
+              AND {sq.tile_y_sql(repr(_COVER_BBOX[1]), 9)}
+),
+b AS (SELECT 9 AS zoom, x, y, COUNT(*) AS cnt FROM cov GROUP BY x, y),
+p AS (SELECT 8 AS zoom, x >> 1 AS x, y >> 1 AS y, CAST(SUM(cnt) AS BIGINT) AS cnt
+      FROM b GROUP BY 2, 3)
+SELECT CAST(zoom AS BIGINT) AS zoom, x, y, cnt FROM b
+UNION ALL
+SELECT CAST(zoom AS BIGINT) AS zoom, x, y, cnt FROM p
+""",
+)
+def bbox_cover_build_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level pyramid restricted to a bbox through the PyramidPlan
+    cover API — every cell in the output intersects the bbox; the raw-
+    column prefilter reaches the scan as PushedFilters
+    (tests/test_physical_plans.py::test_bbox_cover_pushdown)."""
+    from vt_grid_spark.operators.pyramid import build_pyramid_df
+    from vt_grid_spark.plans.aggspec import AggSpec
+    from vt_grid_spark.plans.pyramid_plan import PyramidPlan, ZoomBand
+
+    plan = PyramidPlan(
+        bands=[ZoomBand(basezoom=10, minzoom=8,
+                        aggregations=[AggSpec(out="cnt", reducer="count")])],
+        gridsize=1, bbox=_COVER_BBOX)
+    out = build_pyramid_df(_pts(spark, sf_dir), plan)
+    return out.select(F.col("zoom").cast("long").alias("zoom"), "x", "y", "cnt")
+
+
+# ---------------------------------------------------------------------------
 # F5: aggregation-spec string parse -> executed plan
 # (/root/reference/bin/vt-grid:27-45)
 # ---------------------------------------------------------------------------

@@ -189,6 +189,23 @@ def neighbors(x: int, y: int, z: int, ring: int = 1):
     return out
 
 
+def bbox_to_tile_range(bbox, z: int):
+    """Inclusive (x0, x1, y0, y1) tile range covering bbox=(w, s, e, n) at
+    zoom z — the reference's bbox tile-cover restriction semantics
+    (/root/reference/index.js:113-119: the cover is cell-granular, every
+    tile INTERSECTING the bbox is in).  No antimeridian wrap: w <= e."""
+    w, s, e, n = (float(v) for v in bbox)
+    if w > e or s > n:
+        raise ValueError("bbox must be (w, s, e, n) with w <= e and s <= n "
+                         "(antimeridian-wrapping boxes are not supported)")
+    nmax = (1 << z) - 1
+    x0 = 0 if w <= -180.0 else int(point_to_tile(w, 0.0, z)[0])
+    x1 = nmax if e >= 180.0 else int(point_to_tile(e, 0.0, z)[0])
+    y0 = int(point_to_tile(0.0, n, z)[1])
+    y1 = int(point_to_tile(0.0, s, z)[1])
+    return x0, x1, y0, y1
+
+
 def grid_zoom(output_z: int, gridsize: int) -> int:
     """Cell zoom for an output tile level: gridsize = cells per tile = 4^d.
 
