@@ -104,3 +104,40 @@ def test_checkpoint_resume(spark, tmp_path):
         b = {(r.x, r.y, r.cnt, r.sum_v)
              for r in mem.where(F.col("zoom") == z).collect()}
         assert a == b
+
+
+def test_hot_key_resalt_trigger(spark, tmp_path, monkeypatch):
+    """g5 re-salt rule: holistic rollups salt only while the previous
+    level's manifest max_cell_rows exceeds hot_key_threshold; the decision
+    is recorded in lineage and never changes results."""
+    from vt_grid_spark.operators import pyramid as pyr
+    from vt_grid_spark.plans.aggspec import AggSpec
+    from vt_grid_spark.plans.pyramid_plan import PyramidPlan, ZoomBand
+    from vt_grid_spark.sources import pages
+    from vt_grid_spark.sources.table_io import TableIO
+
+    monkeypatch.setattr(pyr, "SMALL_LEVEL_ROWS", 0)  # force distributed rollups
+    pts = pages.with_coords(pages.pages_df(spark, 3000))
+    specs = [AggSpec(out="cnt", reducer="count"),
+             AggSpec(out="langs", reducer="union", field="lang")]
+
+    def build(threshold, name):
+        io = TableIO(str(tmp_path / name))
+        plan = PyramidPlan(
+            bands=[ZoomBand(basezoom=9, minzoom=6, aggregations=specs)],
+            gridsize=1, salt_buckets=8, hot_key_threshold=threshold)
+        return pyr.build_pyramid(pts, plan, io, resume=False), io
+
+    m_low, io_low = build(1, "low")       # everything is "hot" -> salt
+    m_high, io_high = build(10**9, "high")  # nothing is -> skip the salt
+
+    # the corpus hot cluster puts ~20% of points in one base cell
+    assert m_low[8]["max_cell_rows"] > 300
+    for z in (7, 6):
+        assert m_low[z]["lineage"]["salted"] is True
+        assert m_high[z]["lineage"]["salted"] is False
+    a = {(r.x, r.y): (r.cnt, tuple(r.langs))
+         for r in io_low.read_level(spark, 6).collect()}
+    b = {(r.x, r.y): (r.cnt, tuple(r.langs))
+         for r in io_high.read_level(spark, 6).collect()}
+    assert a == b

@@ -17,7 +17,7 @@ from vt_grid_spark import tilemath as tm
 from vt_grid_spark.operators.encode import (cell_aggregate, cover_cell_predicate,
                                             cover_lonlat_predicate, cover_ranges,
                                             encode_points)
-from vt_grid_spark.operators.rollup import rollup_level
+from vt_grid_spark.operators.rollup import HOLISTIC, rollup_level
 from vt_grid_spark.plans.aggspec import AggSpec, compile_aggs
 from vt_grid_spark.plans.pyramid_plan import PyramidPlan
 from vt_grid_spark.sources.table_io import TableIO
@@ -94,6 +94,36 @@ def build_pyramid(points: DataFrame, plan: PyramidPlan, io: TableIO,
     levels = list(plan.levels())  # [(output_z, cell_z, band)] desc
     base_output_z, base_cell_z, base_band = levels[0]
 
+    # hot-key bookkeeping (SURVEY.md §7 g5 re-salt rule): holistic reducers
+    # concentrate a hot cell's values in one task, so each level's manifest
+    # records max_cell_rows (the max per-cell point count, read from the
+    # count aggregate) and the NEXT rollup salts only when it exceeds
+    # plan.hot_key_threshold.  Plans with no holistic reducer skip all of
+    # this — algebraic aggs are skew-immune via map-side partials.
+    any_holistic = any(s.reducer in HOLISTIC
+                       for b in plan.bands for s in b.aggregations)
+    count_col = next((s.out for b in plan.bands for s in b.aggregations
+                      if s.reducer == "count"), None)
+
+    def _track_max(zoom: int, pdf=None) -> None:
+        if not any_holistic or count_col is None:
+            return
+        if pdf is not None:
+            mx = int(pdf[count_col].max())
+        else:
+            row = io.read_level(spark, zoom).agg(F.max(count_col)).collect()[0]
+            mx = int(row[0]) if row[0] is not None else 0
+        manifests[zoom] = io.amend_manifest(zoom, max_cell_rows=mx)
+
+    def _salt_for(prev_zoom: int, band) -> int:
+        if plan.salt_buckets <= 1 or not any(
+                s.reducer in HOLISTIC for s in band.aggregations):
+            return 0
+        prev_max = manifests[prev_zoom].get("max_cell_rows")
+        if prev_max is None:  # no count spec to measure with — stay safe
+            return plan.salt_buckets
+        return plan.salt_buckets if prev_max > plan.hot_key_threshold else 0
+
     # --- base level: encode + first aggregation -----------------------------
     if resume and io.level_complete(base_cell_z):
         manifests[base_cell_z] = io.read_manifest(base_cell_z)
@@ -107,6 +137,7 @@ def build_pyramid(points: DataFrame, plan: PyramidPlan, io: TableIO,
             lineage={"input": "points", "op": "encode+aggregate",
                      "output_tile_zoom": base_output_z},
         )
+        _track_max(base_cell_z)
 
     # --- rollup levels -------------------------------------------------------
     # distributed while levels are big; once a level fits SMALL_LEVEL_ROWS
@@ -128,15 +159,19 @@ def build_pyramid(points: DataFrame, plan: PyramidPlan, io: TableIO,
                 lineage={"input": f"zoom={prev_cell_z}", "op": "rollup-small",
                          "output_tile_zoom": output_z},
             )
+            _track_max(cell_z, pdf=small_pdf)
         else:
+            salt = _salt_for(prev_cell_z, band)
             children = io.read_level(spark, prev_cell_z)
             level = rollup_level(children, prev_cell_z, band.aggregations,
-                                 salt_buckets=plan.salt_buckets)
+                                 salt_buckets=salt)
             manifests[cell_z] = io.write_level(
                 level, cell_z,
                 lineage={"input": f"zoom={prev_cell_z}", "op": "rollup",
-                         "output_tile_zoom": output_z},
+                         "output_tile_zoom": output_z, "salted": salt > 1,
+                         "salt_buckets": salt},
             )
+            _track_max(cell_z)
         prev_cell_z = cell_z
 
     return manifests

@@ -38,6 +38,10 @@ class PyramidPlan:
     bands: list[ZoomBand]
     gridsize: int = 1024
     salt_buckets: int = 16
+    # re-salt rule (SURVEY.md §7 g5): a rollup with holistic reducers runs
+    # the two-phase salted aggregation only while the previous level's
+    # manifest max_cell_rows (max per-cell point count) exceeds this —
+    # upper pyramid levels whose cells are cold skip the extra shuffle
     hot_key_threshold: int = 2_000_000
     layer: str = "layer"
     # cover restriction (reference index.js:113-122): build only over the

@@ -67,6 +67,17 @@ class TableIO:
         os.replace(tmp, self.manifest_path(zoom))
         return manifest
 
+    def amend_manifest(self, zoom: int, **extra) -> dict:
+        """Merge extra keys into an existing manifest (same atomic
+        write-then-replace as the original commit)."""
+        m = self.read_manifest(zoom)
+        m.update(extra)
+        tmp = self.manifest_path(zoom) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(m, f, indent=1, sort_keys=True)
+        os.replace(tmp, self.manifest_path(zoom))
+        return m
+
     # -- read / resume ---------------------------------------------------------
     def level_complete(self, zoom: int) -> bool:
         p = self.manifest_path(zoom)
