@@ -102,6 +102,38 @@ def test_ann_lsh_recall(spark):
     assert len(set(exact) & set(approx)) >= 5
 
 
+def test_ann_pairs_recall_vs_bruteforce(spark):
+    """Batch ANN pair join: exact refine means zero false positives; the
+    4-table x 8-plane bucketing must recall nearly all cos>=0.9 pairs
+    (per-pair hit prob ~0.99 at cos 0.98)."""
+    from vt_grid_spark.operators.similarity import ann_cosine_pairs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", dbl.alias("ve"))
+    near = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(dbl, lambda x: x + F.lit(0.02)).alias("ve"))
+    corpus = base.unionByName(near)
+
+    rows = corpus.collect()
+    ids = np.array([r.vec_id for r in rows])
+    m = np.array([r.ve for r in rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    cos = np.round(mn @ mn.T, 6)
+    iu, ju = np.triu_indices(len(ids), 1)
+    hits = cos[iu, ju] >= 0.9
+    want = {tuple(sorted((int(ids[i]), int(ids[j]))))
+            for i, j in zip(iu[hits], ju[hits])}
+
+    got = {(r.id_a, r.id_b)
+           for r in ann_cosine_pairs(corpus, dim=64, threshold=0.9,
+                                     vec_col="ve").collect()}
+    assert got <= want          # exact refine: no false positives
+    assert len(want) >= 40      # the injected near-dups are really there
+    assert len(got) / len(want) >= 0.9
+
+
 def test_cosine_matches_numpy(spark):
     from vt_grid_spark.operators.similarity import cosine_topk
 

@@ -80,6 +80,65 @@ def lsh_bucket(df: DataFrame, dim: int, n_planes: int = 8,
     return df.withColumn("bucket", bucket.cast("long"))
 
 
+def lsh_bucket_tables(df: DataFrame, dim: int, n_planes: int = 8,
+                      n_tables: int = 4, vec_col: str = "embedding") -> DataFrame:
+    """Explode each row into ``n_tables`` (table, bucket) entries — table t
+    uses planes [t*n_planes, (t+1)*n_planes).  Multiple independent tables
+    are the standard recall lever for LSH *joins* (one table ANDs all
+    plane bits; extra tables OR whole bucketings)."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    entries = []
+    for t in range(n_tables):
+        bucket = F.lit(0)
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(c) for c in _hyperplane(t * n_planes + p, dim)])
+            bucket = bucket + F.when(_dot(v, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+        entries.append(F.struct(F.lit(t).alias("tbl"),
+                                bucket.cast("long").alias("bucket")))
+    return (
+        df.select("*", F.explode(F.array(*entries)).alias("_tb"))
+        .withColumn("tbl", F.col("_tb.tbl"))
+        .withColumn("bucket", F.col("_tb.bucket"))
+        .drop("_tb")
+    )
+
+
+def ann_cosine_pairs(df: DataFrame, dim: int, threshold: float,
+                     n_planes: int = 8, n_tables: int = 4,
+                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Approximate all-pairs similarity join (embedding dedup at pipeline
+    scale): candidates = pairs sharing an LSH bucket in ANY of n_tables
+    bucketings (self-equi-join on (tbl, bucket) — the minhash_bands shape,
+    O(colliding pairs), never all-pairs), refined by EXACT cosine >=
+    threshold.  All joins against the corpus-sized bucket/vector tables
+    are shuffle joins on unique-ish keys — no broadcast.  Output
+    (id_a, id_b, cos); recall vs brute force is tested in pytest."""
+    ids_vec = df.select(id_col, vec_col)
+    bucketed = lsh_bucket_tables(ids_vec, dim, n_planes, n_tables, vec_col) \
+        .select(id_col, "tbl", "bucket")
+    a = bucketed.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
+    b = bucketed.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
+    cand = (
+        a.join(b.hint("shuffle_hash"), ["tbl", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    va = ids_vec.select(F.col(id_col).alias("id_a"), v.alias("_va"))
+    vb = ids_vec.select(F.col(id_col).alias("id_b"), v.alias("_vb"))
+    cos = F.round(
+        _dot(F.col("_va"), F.col("_vb"))
+        / (_norm(F.col("_va")) * _norm(F.col("_vb"))), 6)
+    return (
+        cand.join(va.hint("shuffle_hash"), "id_a")
+        .join(vb.hint("shuffle_hash"), "id_b")
+        .withColumn("cos", cos)
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )
+
+
 def ann_cosine_topk(df: DataFrame, query_vec: list[float], k: int, dim: int,
                     n_planes: int = 8, probe_hamming: int = 1,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

@@ -348,6 +348,89 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Batch ANN pair join (embedding dedup): LSH-bucket self-join candidates +
+# exact cosine refine.  The hyperplanes are deterministic md5-derived
+# literals, so the WHOLE approximate operator is oracle-checkable — the
+# DuckDB side rebuilds the same planes as literal arrays.
+# ---------------------------------------------------------------------------
+
+_ANN_DIM, _ANN_PLANES, _ANN_TABLES = 64, 8, 4
+
+
+def _ann_plane_sql(t: int, p: int) -> str:
+    from vt_grid_spark.operators.similarity import _hyperplane
+
+    coeffs = _hyperplane(t * _ANN_PLANES + p, _ANN_DIM)
+    return "[" + ", ".join(repr(c) for c in coeffs) + "]"
+
+
+def _ann_bucket_sql(t: int) -> str:
+    return " + ".join(
+        f"(CASE WHEN list_dot_product(ve, {_ann_plane_sql(t, p)}) > 0"
+        f" THEN {1 << p} ELSE 0 END)"
+        for p in range(_ANN_PLANES)
+    )
+
+
+_ANN_CORPUS = """
+corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS vec_id,
+         list_transform(embedding::DOUBLE[], x -> x + 0.02) AS ve
+  FROM embeddings WHERE vec_id % 10 = 0
+  UNION ALL
+  SELECT vec_id + 2000000 AS vec_id, embedding::DOUBLE[] AS ve
+  FROM embeddings WHERE vec_id % 25 = 0
+)
+""".strip()
+
+_ANN_COS = ("list_dot_product(x.ve, y.ve) / (sqrt(list_dot_product(x.ve, x.ve))"
+            " * sqrt(list_dot_product(y.ve, y.ve)))")
+
+
+@register(
+    "ann_cosine_pairs",
+    f"""
+WITH {_ANN_CORPUS},
+bk AS (
+  SELECT vec_id, ve, t.tbl,
+         CASE t.tbl WHEN 0 THEN {_ann_bucket_sql(0)}
+                    WHEN 1 THEN {_ann_bucket_sql(1)}
+                    WHEN 2 THEN {_ann_bucket_sql(2)}
+                    ELSE {_ann_bucket_sql(3)} END AS bucket
+  FROM corpus, (SELECT range AS tbl FROM range(0, {_ANN_TABLES})) t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b USING (tbl, bucket)
+  WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND({_ANN_COS}, 6) AS cos
+FROM cand JOIN corpus x ON x.vec_id = id_a JOIN corpus y ON y.vec_id = id_b
+WHERE ROUND({_ANN_COS}, 6) >= 0.9
+""",
+)
+def ann_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs near-dup join over a dup-injected embedding corpus
+    (exact copies at cos 1.0, +0.02-perturbed copies at cos ~0.98)."""
+    from vt_grid_spark.operators.similarity import ann_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", dbl.alias("ve"))
+    near = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(dbl, lambda x: x + F.lit(0.02)).alias("ve"))
+    exact = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), dbl.alias("ve"))
+    corpus = base.unionByName(near).unionByName(exact)
+    return ann_cosine_pairs(corpus, dim=_ANN_DIM, threshold=0.9,
+                            n_planes=_ANN_PLANES, n_tables=_ANN_TABLES,
+                            id_col="vec_id", vec_col="ve")
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing: binary html -> features via mapInPandas (north_rule:
 # byte-identical extracted text per url, checked through md5)
 # ---------------------------------------------------------------------------
