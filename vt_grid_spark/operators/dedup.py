@@ -124,36 +124,42 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
     tests/test_physical_plans.py asserts no BroadcastExchange feeds these
     joins."""
     min_matches = max(0, int((threshold - est_margin) * n_hashes))
-    # cache: the signature table feeds banding AND both sides of the
-    # prefilter — without it the whole md5 pipeline runs three times
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, k).cache()
-    bands = minhash_bands(sigs, id_col, n_hashes, band_size)
-    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-    b = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash")
-    # the band table is corpus-sized (n_bands rows per doc): the self-join
-    # must shuffle on the bucket key, never broadcast
-    cand = (
-        a.join(b.hint("shuffle_hash"), ["band", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
-
     mh_cols = [f"mh_{i}" for i in range(n_hashes)]
-    sig_a = sigs.select(F.col(id_col).alias("id_a"),
-                        *[F.col(c).alias(f"a_{c}") for c in mh_cols])
-    sig_b = sigs.select(F.col(id_col).alias("id_b"),
-                        *[F.col(c).alias(f"b_{c}") for c in mh_cols])
-    cand = (cand.join(sig_a.hint("shuffle_hash"), "id_a")
-                .join(sig_b.hint("shuffle_hash"), "id_b"))
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, k)
+    # band table WITH the signature carried (one explode — sigs and its md5
+    # pipeline evaluate exactly once, no cache): the prefilter then runs
+    # directly on the band-join output, so no second corpus-sized join is
+    # ever needed (r1 VERDICT's suggested fix for the broadcast blocker)
+    band_structs = []
+    for b in range(n_bands := n_hashes // band_size):
+        cols = [f"mh_{i}" for i in range(b * band_size, (b + 1) * band_size)]
+        band_structs.append(F.struct(
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[F.col(c).cast("string") for c in cols])
+                  ).alias("band_hash")))
+    bands = sigs.select(
+        F.col(id_col), *mh_cols, F.explode(F.array(*band_structs)).alias("_b"),
+    ).select(id_col, *mh_cols, F.col("_b.band").alias("band"),
+             F.col("_b.band_hash").alias("band_hash"))
+    a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash",
+                     *[F.col(c).alias(f"a_{c}") for c in mh_cols])
+    b_ = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash",
+                      *[F.col(c).alias(f"b_{c}") for c in mh_cols])
     matches = None
     for c in mh_cols:
         term = F.when(F.col(f"a_{c}") == F.col(f"b_{c}"), F.lit(1)).otherwise(F.lit(0))
         matches = term if matches is None else (matches + term)
+    # the band table is corpus-sized (n_bands rows per doc): the self-join
+    # must shuffle on the bucket key, never broadcast; the signature-
+    # agreement prefilter is pure codegen arithmetic applied BEFORE the
+    # distinct, so hot-bucket pair floods die without ever shuffling again
     cand = (
-        cand.withColumn("_m", matches)
+        a.join(b_.hint("shuffle_hash"), ["band", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("_m", matches)
         .where(F.col("_m") >= min_matches)
         .select("id_a", "id_b")
+        .distinct()
     )
 
     # exact refine over HASHED shingle sets (int64 arrays — far cheaper to

@@ -2,10 +2,13 @@
 (/root/reference/index.js:94-162) as a checkpointed Spark loop.
 
 Each output level is one shuffle stage (groupBy on the integer parent
-key); every level is written to a ``zoom=<z>`` partition with a manifest,
-and the next level reads the previous level's *written* data — which is
-exactly the reference's behavior of feeding each level's mbtiles into the
-next (index.js:151-159) and doubles as the resume point.
+key); every level is written to a ``zoom=<z>`` partition with a manifest
+(the resume point, mirroring the reference feeding each level's mbtiles
+into the next, index.js:151-159).  Within a run the next rollup reads the
+previous level from the block-manager CACHE (persisted during the level's
+own write job), not back off parquet — the checkpoint write is the
+durability path, never a serial decode on the critical path.  On resume
+the cache is cold and the level IS re-read from its checkpoint.
 """
 
 from __future__ import annotations
@@ -105,13 +108,14 @@ def build_pyramid(points: DataFrame, plan: PyramidPlan, io: TableIO,
     count_col = next((s.out for b in plan.bands for s in b.aggregations
                       if s.reducer == "count"), None)
 
-    def _track_max(zoom: int, pdf=None) -> None:
+    def _track_max(zoom: int, pdf=None, df=None) -> None:
         if not any_holistic or count_col is None:
             return
         if pdf is not None:
             mx = int(pdf[count_col].max())
         else:
-            row = io.read_level(spark, zoom).agg(F.max(count_col)).collect()[0]
+            src = df if df is not None else io.read_level(spark, zoom)
+            row = src.agg(F.max(count_col)).collect()[0]
             mx = int(row[0]) if row[0] is not None else 0
         manifests[zoom] = io.amend_manifest(zoom, max_cell_rows=mx)
 
@@ -125,19 +129,22 @@ def build_pyramid(points: DataFrame, plan: PyramidPlan, io: TableIO,
         return plan.salt_buckets if prev_max > plan.hot_key_threshold else 0
 
     # --- base level: encode + first aggregation -----------------------------
+    prev_df = None  # cached handle of the previous level within this run
     if resume and io.level_complete(base_cell_z):
         manifests[base_cell_z] = io.read_manifest(base_cell_z)
     else:
         encoded = _apply_cover(points, plan, base_cell_z)
         if repartition:
             encoded = encoded.repartition(repartition, "x", "y")
-        base = cell_aggregate(encoded, base_cell_z, compile_aggs(base_band.aggregations))
+        base = cell_aggregate(encoded, base_cell_z,
+                              compile_aggs(base_band.aggregations)).persist()
         manifests[base_cell_z] = io.write_level(
             base, base_cell_z,
             lineage={"input": "points", "op": "encode+aggregate",
                      "output_tile_zoom": base_output_z},
         )
-        _track_max(base_cell_z)
+        _track_max(base_cell_z, df=base)
+        prev_df = base
 
     # --- rollup levels -------------------------------------------------------
     # distributed while levels are big; once a level fits SMALL_LEVEL_ROWS
@@ -150,9 +157,15 @@ def build_pyramid(points: DataFrame, plan: PyramidPlan, io: TableIO,
         if resume and io.level_complete(cell_z):
             manifests[cell_z] = io.read_manifest(cell_z)
             small_pdf = None  # re-read lazily if needed
+            if prev_df is not None:
+                prev_df.unpersist()
+                prev_df = None  # cache is stale relative to the skip point
         elif small_pdf is not None or manifests[prev_cell_z]["row_count"] < SMALL_LEVEL_ROWS:
             if small_pdf is None:
                 small_pdf = io.read_level_pandas(prev_cell_z)
+            if prev_df is not None:
+                prev_df.unpersist()
+                prev_df = None  # remaining levels are driver-side
             small_pdf = _rollup_small_pandas(small_pdf, prev_cell_z, band.aggregations)
             manifests[cell_z] = io.write_level_pandas(
                 small_pdf, cell_z,
@@ -162,18 +175,24 @@ def build_pyramid(points: DataFrame, plan: PyramidPlan, io: TableIO,
             _track_max(cell_z, pdf=small_pdf)
         else:
             salt = _salt_for(prev_cell_z, band)
-            children = io.read_level(spark, prev_cell_z)
+            children = (prev_df if prev_df is not None
+                        else io.read_level(spark, prev_cell_z))
             level = rollup_level(children, prev_cell_z, band.aggregations,
-                                 salt_buckets=salt)
+                                 salt_buckets=salt).persist()
             manifests[cell_z] = io.write_level(
                 level, cell_z,
                 lineage={"input": f"zoom={prev_cell_z}", "op": "rollup",
                          "output_tile_zoom": output_z, "salted": salt > 1,
                          "salt_buckets": salt},
             )
-            _track_max(cell_z)
+            _track_max(cell_z, df=level)
+            if prev_df is not None:
+                prev_df.unpersist()
+            prev_df = level
         prev_cell_z = cell_z
 
+    if prev_df is not None:
+        prev_df.unpersist()
     return manifests
 
 
