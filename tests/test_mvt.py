@@ -1,0 +1,124 @@
+"""True MVT/PBF + MBTiles ingest (reference S3 scan path,
+/root/reference/bench/read-tiles.js:24-45): wire-format round-trips,
+TMS row flip, gzip handling, Arrow-batched distributed decode."""
+
+import gzip
+import json
+
+import numpy as np
+import pytest
+
+from vt_grid_spark import tilemath as tm
+from vt_grid_spark.sources import mvt
+
+TILE = (6, 32, 25)
+
+
+def _point_layer():
+    # three points + one tagged polygon in extent space
+    feats = [
+        {"geom_type": 1, "parts": [[(100, 200)]], "props": {"n": 7}, "id": 1},
+        {"geom_type": 1, "parts": [[(4000, 4095)]], "props": {"n": 9}, "id": 2},
+        {"geom_type": 1, "parts": [[(0, 0)]], "props": {"lang": "en"}, "id": 3},
+        {"geom_type": 3,
+         "parts": [[(10, 10), (10, 500), (500, 500), (500, 10), (10, 10)]],
+         "props": {"data": 1.5}, "id": 4},
+    ]
+    return {"pages": feats}
+
+
+def test_encode_decode_roundtrip():
+    z, x, y = TILE
+    blob = mvt.encode_tile(_point_layer(), compress=True)
+    assert blob[:2] == b"\x1f\x8b"  # gzipped like reference tiles
+    feats = mvt.decode_tile(blob, x, y, z)
+    assert len(feats) == 4
+    assert {f["layer"] for f in feats} == {"pages"}
+    by_id = {f["id"]: f for f in feats}
+    assert by_id[1]["properties"] == {"n": 7}
+    assert by_id[3]["properties"] == {"lang": "en"}
+    assert by_id[4]["properties"] == {"data": 1.5}
+    # point coordinates follow toGeoJSON semantics exactly
+    lon = float(tm.tile_to_lon(x + 100 / 4096.0, z))
+    lat = float(tm.tile_to_lat(y + 200 / 4096.0, z))
+    assert by_id[1]["geometry"]["coordinates"] == [lon, lat]
+    # polygon ring closed, 5 vertices
+    ring = by_id[4]["geometry"]["coordinates"][0]
+    assert len(ring) == 5 and ring[0] == ring[-1]
+
+
+def test_decode_uncompressed_and_linestring():
+    z, x, y = TILE
+    layers = {"roads": [
+        {"geom_type": 2, "parts": [[(0, 0), (100, 100), (200, 100)]],
+         "props": {"km": 2}, "id": 10},
+    ]}
+    blob = mvt.encode_tile(layers, compress=False)
+    feats = mvt.decode_tile(blob, x, y, z)
+    assert feats[0]["geometry"]["type"] == "LineString"
+    assert len(feats[0]["geometry"]["coordinates"]) == 3
+
+
+def test_quantization_matches_cell_assignment():
+    """lonlat -> extent int -> lonlat stays inside the same z-cell (the
+    lossy MVT step must never move a point across its tile)."""
+    z, x, y = TILE
+    w, s, e, n = (float(v) for v in tm.tile_to_bbox(x, y, z))
+    rng = np.random.RandomState(7)
+    lon = rng.uniform(w, e, 200)
+    lat = rng.uniform(s, n, 200)
+    px, py = mvt.lonlat_to_extent(lon, lat, x, y, z)
+    assert px.min() >= 0 and px.max() <= 4095
+    lon2 = tm.tile_to_lon(x + px / 4096.0, z)
+    lat2 = tm.tile_to_lat(y + py / 4096.0, z)
+    x2, y2 = tm.point_to_tile(lon2, lat2, z)
+    assert (x2 == x).all() and (y2 == y).all()
+
+
+def test_mbtiles_roundtrip_and_info(tmp_path):
+    path = str(tmp_path / "t.mbtiles")
+    z, x, y = TILE
+    blob = mvt.encode_tile(_point_layer())
+    mvt.write_mbtiles(path, [(z, x, y, blob), (z, x + 1, y, blob)],
+                      metadata={"name": "fix", "format": "pbf"})
+    info = mvt.mbtiles_info(path)
+    assert info["minzoom"] == z and info["maxzoom"] == z
+    assert info["tile_count"] == 2 and info["metadata"]["format"] == "pbf"
+
+
+def test_distributed_decode(spark, tmp_path):
+    """MBTiles -> DataFrame -> mapInPandas decode: per-tile rows come back
+    with the TMS flip undone and features intact."""
+    path = str(tmp_path / "d.mbtiles")
+    z = 6
+    tiles = []
+    for i in range(4):
+        layers = {"pages": [
+            {"geom_type": 1, "parts": [[(64 * j + i, 128)]],
+             "props": {"n": j}, "id": j} for j in range(3)
+        ]}
+        tiles.append((z, 30 + i, 20 + i, mvt.encode_tile(layers)))
+    mvt.write_mbtiles(path, tiles)
+
+    df = mvt.read_mbtiles(spark, path)
+    assert df.count() == 4
+    feats = mvt.decode_tiles_df(df)
+    rows = feats.collect()
+    assert len(rows) == 12
+    assert {(r.x, r.y) for r in rows} == {(30 + i, 20 + i) for i in range(4)}
+    r0 = [r for r in rows if r.x == 30 and r.feature_id == 0][0]
+    assert r0.layer == "pages" and r0.geom_type == "Point"
+    assert json.loads(r0.props_json) == {"n": 0}
+    lon = json.loads(r0.geometry_json)["coordinates"][0]
+    assert abs(lon - float(tm.tile_to_lon(30 + 0 / 4096.0, z))) < 1e-9
+
+
+def test_decode_plan_is_narrow(spark, tmp_path):
+    from tests.test_physical_plans import plan_str
+
+    path = str(tmp_path / "n.mbtiles")
+    blob = mvt.encode_tile(_point_layer())
+    mvt.write_mbtiles(path, [(6, 32, 25, blob)])
+    feats = mvt.decode_tiles_df(mvt.read_mbtiles(spark, path))
+    p = plan_str(feats)
+    assert "Exchange" not in p  # per-tile decode: no shuffle

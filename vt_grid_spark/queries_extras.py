@@ -404,6 +404,69 @@ def bbox_cover_build_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S3 (true form): MBTiles -> gunzip -> MVT protobuf decode -> features
+# (/root/reference/bench/read-tiles.js:24-45).  The oracle recomputes the
+# expected features from the same integer parameters, independent of the
+# wire format (whose round-trips live in tests/test_mvt.py).
+# ---------------------------------------------------------------------------
+
+@register(
+    "mbtiles_ingest_z6",
+    f"""
+WITH t AS (SELECT range AS i FROM range(0, 16)),
+f AS (SELECT i, unnest(generate_series(0, (i % 5) + 1)) AS j FROM t),
+g AS (
+  SELECT CAST(30 + i % 4 AS BIGINT) AS x, CAST(20 + i // 4 AS BIGINT) AS y,
+         CAST(j AS BIGINT) AS feature_id,
+         CAST((j * 97 + i * 13) % 4096 AS DOUBLE) / 4096.0 AS fx,
+         CAST((i * 53 + j * 31) % 4096 AS DOUBLE) / 4096.0 AS fy,
+         CAST(j AS BIGINT) AS n
+  FROM f
+)
+SELECT x, y, feature_id,
+  ROUND({sq.tile_lon_sql('(x + fx)', 6)}, 9) AS lon,
+  ROUND({sq.tile_lat_sql('(y + fy)', 6)}, 9) AS lat,
+  n
+FROM g
+""",
+)
+def mbtiles_ingest_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthesizes a 16-tile MBTiles file (gzipped spec-2.1 MVT blobs),
+    then drives the REAL ingest: SQLite index scan + TMS flip, distributed
+    mapInPandas protobuf decode, extent->lon/lat transform, JSON property
+    extraction."""
+    import shutil
+    import tempfile
+
+    from vt_grid_spark.sources import mvt
+
+    z = 6
+    tiles = []
+    for i in range(16):
+        feats = [{"geom_type": 1,
+                  "parts": [[((j * 97 + i * 13) % 4096, (i * 53 + j * 31) % 4096)]],
+                  "props": {"n": j}, "id": j}
+                 for j in range(i % 5 + 2)]
+        tiles.append((z, 30 + i % 4, 20 + i // 4,
+                      mvt.encode_tile({"pages": feats})))
+    d = tempfile.mkdtemp(prefix="vtgrid_mbt_q_")
+    try:
+        path = f"{d}/in.mbtiles"
+        mvt.write_mbtiles(path, tiles)
+        feats_df = mvt.decode_tiles_df(mvt.read_mbtiles(spark, path))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)  # blobs already in the plan
+    return feats_df.select(
+        "x", "y", "feature_id",
+        F.round(F.get_json_object("geometry_json", "$.coordinates[0]")
+                .cast("double"), 9).alias("lon"),
+        F.round(F.get_json_object("geometry_json", "$.coordinates[1]")
+                .cast("double"), 9).alias("lat"),
+        F.get_json_object("props_json", "$.n").cast("long").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # F5: aggregation-spec string parse -> executed plan
 # (/root/reference/bin/vt-grid:27-45)
 # ---------------------------------------------------------------------------
