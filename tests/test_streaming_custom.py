@@ -64,3 +64,42 @@ def test_post_aggregations(spark):
     out = cells.withColumn("unique_count", F.size("langs").cast("long")).collect()
     for r in out:
         assert r.unique_count == len(set(r.langs))
+
+
+def test_stateful_sessionize_stream_equals_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization == window-function batch
+    sessionization. A far-future sentinel file advances the watermark in a
+    second microbatch so every real session times out and flushes."""
+    import os
+    import time
+
+    from pyspark.sql import functions as F
+
+    from vt_grid_spark.streaming.sessions import sessionize_batch, sessionize_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "sess_src")
+    events.coalesce(1).write.parquet(src)
+    time.sleep(1.1)  # sentinel file must sort AFTER the data file (mtime)
+    sentinel = spark.createDataFrame(
+        [(999_999_999, )], "event_id long").select(
+        "event_id",
+        F.to_timestamp(F.lit("2024-06-01 00:00:00")).alias("ts"),
+        F.lit(999_999).alias("user_id"), F.lit("x").alias("event_type"),
+        F.lit(0.0).alias("value"), F.lit("{}").alias("props"))
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(events.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (sessionize_stream(stream, gap_s=14400).writeStream
+         .outputMode("append").format("memory").queryName("sess_out")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+           for r in spark.table("sess_out").collect() if r.user_id != 999_999}
+    want = {(r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+            for r in sessionize_batch(events, gap_s=14400).collect()}
+    assert len(want) > 50
+    assert got == want

@@ -467,6 +467,41 @@ def mbtiles_ingest_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Stateful streaming twin: gap-timeout sessionization (batch form; the
+# applyInPandasWithState stream == batch equivalence is
+# tests/test_streaming_custom.py::test_stateful_sessionize_stream_equals_batch)
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_sessions",
+    """
+WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+g AS (
+  SELECT *, CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER
+       (PARTITION BY user_id ORDER BY ts)) > 14400000000
+       THEN 1 ELSE 0 END AS brk
+  FROM e
+),
+s AS (
+  SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sid
+  FROM g
+)
+SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+       COUNT(*) AS n_events, ROUND(SUM(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid
+""",
+)
+def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 4h-gap sessions over the events table (integer-microsecond
+    gap math, exact cross-engine)."""
+    from vt_grid_spark.streaming.sessions import sessionize_batch
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize_batch(events, gap_s=14400)
+
+
+# ---------------------------------------------------------------------------
 # F5: aggregation-spec string parse -> executed plan
 # (/root/reference/bin/vt-grid:27-45)
 # ---------------------------------------------------------------------------
