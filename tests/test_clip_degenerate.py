@@ -101,3 +101,56 @@ def test_dc_golden_quadkeys(spark):
     extra = positive - golden
     assert not missing, f"{len(missing)} golden cells missing: {sorted(missing)[:5]}"
     assert not extra, f"{len(extra)} extra positive cells: {sorted(extra)[:5]}"
+
+
+def test_line_clip_conserves_length():
+    """Sum of per-cell clipped lengths == whole-polyline length (filter off)."""
+    import numpy as np
+
+    from vt_grid_spark.operators.clip import _EARTH_R, clip_segments_to_cells
+
+    line = np.array([[-10.2, 40.1], [5.7, 47.3], [19.9, 41.8]])
+    cells = clip_segments_to_cells(line, grid_z=5, apply_filter=False)
+    assert len(cells) >= 4  # spans several z5 cells
+    total = 0.0
+    for (a, b) in zip(line[:-1], line[1:]):
+        mid = np.radians((a[1] + b[1]) * 0.5)
+        dlam = np.radians(b[0] - a[0]) * np.cos(mid)
+        dphi = np.radians(b[1] - a[1])
+        total += _EARTH_R * float(np.sqrt(dphi * dphi + dlam * dlam))
+    # cos(mid-lat) varies slightly per clipped piece; per-segment midpoints
+    # differ from per-piece midpoints, so allow a small relative tolerance
+    assert abs(sum(cells.values()) - total) / total < 2e-3
+
+
+def test_line_clip_axis_parallel():
+    import numpy as np
+
+    from vt_grid_spark.operators.clip import clip_segments_to_cells
+
+    horiz = np.array([[-20.0 + 0.0005, 30.0005], [15.0, 30.0005]])
+    vert = np.array([[10.0005, -25.0], [10.0005, 20.0]])
+    ch = clip_segments_to_cells(horiz, grid_z=5, apply_filter=False)
+    cv = clip_segments_to_cells(vert, grid_z=5, apply_filter=False)
+    assert len(ch) >= 3 and len(cv) >= 4
+    assert len({y for (_, y) in ch}) == 1  # horizontal stays in one row
+    assert len({x for (x, _) in cv}) == 1  # vertical stays in one column
+
+
+def test_line_clip_degenerate_sliver_filtered():
+    """A segment hugging a cell edge (within eps) must be filtered in that
+    cell — the strict-interior rule for LineStrings (degenerate.js:26)."""
+    import numpy as np
+
+    from vt_grid_spark import tilemath as tm
+    from vt_grid_spark.operators.clip import clip_segments_to_cells, degenerate_eps
+
+    z = 5
+    w, s, e, n = (float(v) for v in tm.tile_to_bbox(16, 12, z))
+    eps = degenerate_eps(z)
+    hug = np.array([[w + eps * 0.25, s + 1.0], [w + eps * 0.25, n - 1.0]])
+    cells = clip_segments_to_cells(hug, grid_z=z)
+    assert (16, 12) not in cells           # sliver filtered
+    inner = np.array([[w + 1.0, s + 1.0], [w + 1.0, n - 1.0]])
+    cells2 = clip_segments_to_cells(inner, grid_z=z)
+    assert (16, 12) in cells2

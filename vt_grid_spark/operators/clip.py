@@ -136,6 +136,123 @@ def polygon_area_sq_m(rings: list) -> float:
 
 
 # ---------------------------------------------------------------------------
+# line clipping (the reference's roads workload: per-tile line distance,
+# bench/aggregations/osm-roads.js) — slab method, pure arithmetic so the
+# DuckDB oracle can mirror the exact float ops
+# ---------------------------------------------------------------------------
+
+_EARTH_R = 6378137.0
+
+
+def clip_segments_to_cells(seg: np.ndarray, grid_z: int,
+                           apply_filter: bool = True):
+    """One polyline (N x 2 lon/lat) -> {(x, y): clipped length in meters}.
+
+    Per segment: candidate cells from the segment's bbox tile range; the
+    in-cell parameter interval [t0, t1] via the slab method
+    (t0 = max(0, txmin, tymin), t1 = min(1, txmax, tymax)); clipped piece
+    endpoints by linear interpolation; length equirectangular with a
+    cos(mid-lat) longitude scale (cheap-ruler-style,
+    /root/reference/bench/aggregations/osm-roads.js:18-40).  Degenerate
+    pieces (both endpoints within eps of a cell edge) are filtered with
+    the reference's strict-interior rule (lib/degenerate.js:26)."""
+    eps = degenerate_eps(grid_z)
+    out: dict[tuple, float] = {}
+    pts = np.asarray(seg, dtype=np.float64)
+    for i in range(len(pts) - 1):
+        (lon0, lat0), (lon1, lat1) = pts[i], pts[i + 1]
+        dx, dy = lon1 - lon0, lat1 - lat0
+        x_lo, y_hi_row = tm.point_to_tile(min(lon0, lon1), min(lat0, lat1), grid_z)
+        x_hi, y_lo_row = tm.point_to_tile(max(lon0, lon1), max(lat0, lat1), grid_z)
+        xs = np.arange(int(x_lo), int(x_hi) + 1, dtype=np.float64)
+        ys = np.arange(int(y_lo_row), int(y_hi_row) + 1, dtype=np.float64)
+        gx, gy = np.meshgrid(xs, ys, indexing="ij")
+        gx, gy = gx.ravel(), gy.ravel()
+        w = tm.tile_to_lon(gx, grid_z)
+        e = tm.tile_to_lon(gx + 1.0, grid_z)
+        s = tm.tile_to_lat(gy + 1.0, grid_z)
+        n = tm.tile_to_lat(gy, grid_z)
+        if dx == 0.0 or dy == 0.0:
+            # axis-parallel: treat the degenerate axis by containment
+            if dx == 0.0 and dy == 0.0:
+                continue
+            if dx == 0.0:
+                t0 = np.maximum(0.0, np.minimum((s - lat0) / dy, (n - lat0) / dy))
+                t1 = np.minimum(1.0, np.maximum((s - lat0) / dy, (n - lat0) / dy))
+                inside = (lon0 >= w) & (lon0 < e)
+            else:
+                t0 = np.maximum(0.0, np.minimum((w - lon0) / dx, (e - lon0) / dx))
+                t1 = np.minimum(1.0, np.maximum((w - lon0) / dx, (e - lon0) / dx))
+                inside = (lat0 > s) & (lat0 <= n)
+            t1 = np.where(inside, t1, t0)
+        else:
+            tx1, tx2 = (w - lon0) / dx, (e - lon0) / dx
+            ty1, ty2 = (s - lat0) / dy, (n - lat0) / dy
+            t0 = np.maximum(0.0, np.maximum(np.minimum(tx1, tx2),
+                                            np.minimum(ty1, ty2)))
+            t1 = np.minimum(1.0, np.minimum(np.maximum(tx1, tx2),
+                                            np.maximum(ty1, ty2)))
+        keep = t1 > t0
+        if not keep.any():
+            continue
+        ax = lon0 + t0[keep] * dx
+        ay = lat0 + t0[keep] * dy
+        bx = lon0 + t1[keep] * dx
+        by = lat0 + t1[keep] * dy
+        if apply_filter:
+            wk, ek, sk, nk = w[keep], e[keep], s[keep], n[keep]
+            passes = ((np.maximum(ax, bx) - wk > eps) & (ek - np.minimum(ax, bx) > eps)
+                      & (np.maximum(ay, by) - sk > eps) & (nk - np.minimum(ay, by) > eps))
+        else:
+            passes = np.ones(int(keep.sum()), dtype=bool)
+        mid = np.radians((ay + by) * 0.5)
+        dlam = np.radians(bx - ax) * np.cos(mid)
+        dphi = np.radians(by - ay)
+        length = _EARTH_R * np.sqrt(dphi * dphi + dlam * dlam)
+        cx, cy = gx[keep].astype(np.int64), gy[keep].astype(np.int64)
+        for j in np.nonzero(passes)[0]:
+            k = (int(cx[j]), int(cy[j]))
+            out[k] = out.get(k, 0.0) + float(length[j])
+    return out
+
+
+def clip_lines_to_cells(df, grid_z: int):
+    """mapInPandas operator: rows (feature_id, geometry_json with
+    LineString / MultiLineString) -> one row per (feature, covered cell)
+    with the clipped in-cell length in meters — the engine form of the
+    reference's per-tile road-length reducer."""
+    from typing import Iterator as _It
+
+    def gen(batches: _It):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = {k: [] for k in ["feature_id", "x", "y", "zoom", "length_m"]}
+            for row in pdf.itertuples(index=False):
+                geom = json.loads(row.geometry_json)
+                if geom["type"] == "LineString":
+                    lines = [geom["coordinates"]]
+                elif geom["type"] == "MultiLineString":
+                    lines = geom["coordinates"]
+                else:
+                    raise ValueError(f"line clip got {geom['type']}")
+                cells: dict[tuple, float] = {}
+                for line in lines:
+                    for k, v in clip_segments_to_cells(
+                            np.asarray(line, dtype=np.float64), grid_z).items():
+                        cells[k] = cells.get(k, 0.0) + v
+                for (x, y), ln in cells.items():
+                    rows["feature_id"].append(row.feature_id)
+                    rows["x"].append(x)
+                    rows["y"].append(y)
+                    rows["zoom"].append(grid_z)
+                    rows["length_m"].append(ln)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, schema="feature_id long, x long, y long, zoom int, length_m double")
+
+
+# ---------------------------------------------------------------------------
 # quadtree slicing of one feature
 # ---------------------------------------------------------------------------
 

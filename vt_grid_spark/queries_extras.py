@@ -467,6 +467,91 @@ def mbtiles_ingest_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# F6/A5 workload: per-cell clipped line length (the reference's roads
+# benchmark, bench/aggregations/osm-roads.js) — slab-method segment clip,
+# equirectangular cos(mid-lat) length; the oracle mirrors the exact
+# arithmetic in SQL (single-segment features keep it closed-form)
+# ---------------------------------------------------------------------------
+
+_LINE_Z = 5
+_LINE_EPS = 0.087 / (4.0 ** _LINE_Z)
+_LC_W = sq.tile_lon_sql("x", _LINE_Z)
+_LC_E = sq.tile_lon_sql("(x + 1)", _LINE_Z)
+_LC_S = sq.tile_lat_sql("(y + 1)", _LINE_Z)
+_LC_N = sq.tile_lat_sql("y", _LINE_Z)
+
+
+@register(
+    "line_clip_length_z5",
+    f"""
+WITH segs AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS feature_id, lon0, lat0,
+         lon0 + 15.0 + CAST(n_nationkey % 7 AS DOUBLE) AS lon1,
+         lat0 + 8.0 + CAST(n_nationkey % 5 AS DOUBLE) AS lat1
+  FROM (SELECT n_nationkey,
+        (-170.0 + CAST(n_nationkey * 29 % 320 AS DOUBLE) + 0.0005) AS lon0,
+        (-70.0 + CAST(n_nationkey * 31 % 130 AS DOUBLE) + 0.0005) AS lat0
+        FROM nation)
+),
+cx AS (SELECT *, unnest(generate_series({sq.tile_x_sql('lon0', _LINE_Z)},
+                                        {sq.tile_x_sql('lon1', _LINE_Z)})) AS x
+       FROM segs),
+cells AS (SELECT *, unnest(generate_series({sq.tile_y_sql('lat1', _LINE_Z)},
+                                           {sq.tile_y_sql('lat0', _LINE_Z)})) AS y
+          FROM cx),
+ix AS (
+  SELECT feature_id, x, y, lon0, lat0,
+         (lon1 - lon0) AS dx, (lat1 - lat0) AS dy,
+         {_LC_W} AS w, {_LC_E} AS e, {_LC_S} AS s, {_LC_N} AS n
+  FROM cells
+),
+tt AS (
+  SELECT *,
+    GREATEST(0.0, GREATEST(LEAST((w - lon0)/dx, (e - lon0)/dx),
+                           LEAST((s - lat0)/dy, (n - lat0)/dy))) AS t0,
+    LEAST(1.0, LEAST(GREATEST((w - lon0)/dx, (e - lon0)/dx),
+                     GREATEST((s - lat0)/dy, (n - lat0)/dy))) AS t1
+  FROM ix
+),
+pc AS (
+  SELECT feature_id, x, y, w, e, s, n,
+         lon0 + t0*dx AS ax, lat0 + t0*dy AS ay,
+         lon0 + t1*dx AS bx, lat0 + t1*dy AS by
+  FROM tt WHERE t1 > t0
+)
+SELECT feature_id, x, y,
+  ROUND(6378137.0 * SQRT(POWER(RADIANS(by - ay), 2)
+        + POWER(RADIANS(bx - ax) * COS(RADIANS((ay + by) * 0.5)), 2))
+        / 1000.0, 6) AS length_km
+FROM pc
+WHERE (GREATEST(ax, bx) - w > {_LINE_EPS!r}) AND (e - LEAST(ax, bx) > {_LINE_EPS!r})
+  AND (GREATEST(ay, by) - s > {_LINE_EPS!r}) AND (n - LEAST(ay, by) > {_LINE_EPS!r})
+""",
+)
+def line_clip_length_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """25 nation-keyed line segments through the real line-clip operator
+    (slab-method cell clip + degenerate filter + cos(mid-lat) length)."""
+    from vt_grid_spark.operators.clip import clip_lines_to_cells
+
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").select("n_nationkey").collect()
+    rows = []
+    for r in nat:
+        k = int(r.n_nationkey)
+        lon0 = -170.0 + float(k * 29 % 320) + 0.0005
+        lat0 = -70.0 + float(k * 31 % 130) + 0.0005
+        lon1 = lon0 + 15.0 + float(k % 7)
+        lat1 = lat0 + 8.0 + float(k % 5)
+        geom = {"type": "LineString",
+                "coordinates": [[lon0, lat0], [lon1, lat1]]}
+        rows.append((k, json.dumps(geom)))
+    df = spark.createDataFrame(rows, "feature_id long, geometry_json string")
+    out = clip_lines_to_cells(df, grid_z=_LINE_Z)
+    return out.select(
+        "feature_id", "x", "y",
+        F.round(F.col("length_m") / F.lit(1000.0), 6).alias("length_km"))
+
+
+# ---------------------------------------------------------------------------
 # Stateful streaming twin: gap-timeout sessionization (batch form; the
 # applyInPandasWithState stream == batch equivalence is
 # tests/test_streaming_custom.py::test_stateful_sessionize_stream_equals_batch)
