@@ -587,6 +587,47 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# §3 option-stack composition: count at the base band, sum below
+# (/root/reference/README.md:66-74, index.js:45-59 zoom-band machinery)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multiband_stack_z6",
+    f"""
+WITH pts AS ({_PAGES}),
+enc AS (
+  SELECT {sq.tile_x_sql('lon', 10)} AS x10, {sq.tile_y_sql('lat', 10)} AS y10
+  FROM pts
+),
+lv AS (
+  SELECT (10 - d) AS zoom, x10 >> d AS x, y10 >> d AS y, COUNT(*) AS cnt
+  FROM enc, (SELECT range AS d FROM range(0, 5)) ds
+  GROUP BY 1, 2, 3
+)
+SELECT CAST(zoom AS BIGINT) AS zoom, x, y, cnt FROM lv
+""",
+)
+def multiband_stack_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two zoom bands — count() in the upper band, sum(cnt) below — the
+    reference's manual partial/final split across bands; every level must
+    equal the plain per-ancestor point count."""
+    from vt_grid_spark.operators.pyramid import build_pyramid_df
+    from vt_grid_spark.plans.aggspec import AggSpec
+    from vt_grid_spark.plans.pyramid_plan import PyramidPlan, ZoomBand
+
+    plan = PyramidPlan(
+        bands=[
+            ZoomBand(basezoom=11, minzoom=9,
+                     aggregations=[AggSpec(out="cnt", reducer="count")]),
+            ZoomBand(basezoom=9, minzoom=6,
+                     aggregations=[AggSpec(out="cnt", reducer="sum", field="cnt")]),
+        ],
+        gridsize=1)
+    out = build_pyramid_df(_pts(spark, sf_dir), plan)
+    return out.select(F.col("zoom").cast("long").alias("zoom"), "x", "y", "cnt")
+
+
+# ---------------------------------------------------------------------------
 # F5: aggregation-spec string parse -> executed plan
 # (/root/reference/bin/vt-grid:27-45)
 # ---------------------------------------------------------------------------
