@@ -173,3 +173,39 @@ def test_quality_and_lang_sane(spark):
     # corpus is english-ish word soup with 'the'/'a' present
     en = sum(1 for r in l if r.lang_pred == "en")
     assert en > 250
+
+
+def test_bmp_wav_video_roundtrips():
+    """Real multimodal decoders: encode -> decode is exact for BMP (incl.
+    row padding), WAV (PCM16), and the frame stream; resize picks the
+    nearest-neighbor source pixels."""
+    from vt_grid_spark.operators import multimodal as mm
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=(13, 17, 3)).astype("uint8")  # odd w -> padding
+    assert np.array_equal(mm.decode_bmp(mm.encode_bmp(px)), px)
+
+    s = rng.randint(-30000, 30000, size=777).astype("int16")
+    sr, s2 = mm.decode_wav(mm.encode_wav(s, 12345))
+    assert sr == 12345 and np.array_equal(s2, s)
+
+    frames = [rng.randint(0, 256, size=(6, 8, 3)).astype("uint8") for _ in range(5)]
+    vid = mm.encode_video(frames)
+    got = list(mm.iter_video_frames(vid))
+    assert [i for i, _ in got] == [0, 1, 2, 3, 4]
+    assert all(np.array_equal(mm.decode_bmp(b), f) for (_, b), f in zip(got, frames))
+
+    small = mm.resize_nearest(px, 4, 4)
+    ys = (np.arange(4) * 13) // 4
+    xs = (np.arange(4) * 17) // 4
+    assert np.array_equal(small, px[np.ix_(ys, xs)])
+
+
+def test_decode_image_stub_still_raises():
+    """Compressed codecs remain an honest stub."""
+    import pytest as _pytest
+
+    from vt_grid_spark.operators.multimodal import decode_image
+
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff")  # JPEG magic

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import json
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -625,6 +626,138 @@ def multiband_stack_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
         gridsize=1)
     out = build_pyramid_df(_pts(spark, sf_dir), plan)
     return out.select(F.col("zoom").cast("long").alias("zoom"), "x", "y", "cnt")
+
+
+# ---------------------------------------------------------------------------
+# Multimodal REAL decoders (BMP / WAV / frame stream): binary columns are
+# synthesized from integer seeds (true wire bytes), the operators decode
+# them for real, and the oracles recompute the features from the seeds in
+# closed form — so a wire-format or decode bug breaks the hash match.
+# ---------------------------------------------------------------------------
+
+_N_MEDIA = 50
+
+
+def _media_corpus(spark: SparkSession, kind: str) -> DataFrame:
+    """(doc_id, image|audio|video binary) built in mapInPandas from seeds."""
+    import pandas as pd
+
+    from vt_grid_spark.operators import multimodal as mm
+
+    def gen(batches):
+        for pdf in batches:
+            ids, blobs = [], []
+            for i in pdf["id"]:
+                i = int(i)
+                if kind == "image":
+                    w, h = 16 + i % 8, 12 + i % 5
+                    y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                    px = ((i * 31 + x * 7 + y * 11 + c * 5) % 256).astype(np.uint8)
+                    blobs.append(mm.encode_bmp(px))
+                elif kind == "audio":
+                    n = 400 + i % 50
+                    t = np.arange(n, dtype=np.int64)
+                    s = ((i * 7 + t * 13) % 2003) - 1001
+                    blobs.append(mm.encode_wav(s.astype(np.int16),
+                                               8000 + (i % 3) * 4000))
+                else:  # video
+                    w, h = 8 + i % 3, 6 + i % 2
+                    frames = []
+                    for f in range(2 + i % 4):
+                        y, x, c = np.ogrid[0:h, 0:w, 0:3]
+                        frames.append(((i * 17 + f * 29 + x * 3 + y * 5 + c)
+                                       % 256).astype(np.uint8))
+                    blobs.append(mm.encode_video(frames))
+                ids.append(i)
+            yield pd.DataFrame({"doc_id": ids, kind: blobs})
+
+    return spark.range(_N_MEDIA).mapInPandas(gen, f"doc_id long, {kind} binary")
+
+
+@register(
+    "image_features_bmp",
+    """
+WITH d AS (SELECT range AS i FROM range(0, 50)),
+dim AS (SELECT i, 16 + i % 8 AS w, 12 + i % 5 AS h FROM d),
+gx AS (SELECT *, unnest(generate_series(0, w - 1)) AS x FROM dim),
+px AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM gx),
+sums AS (
+  SELECT i, w, h,
+    SUM((i*31 + x*7 + y*11) % 256) AS sum_r,
+    SUM((i*31 + x*7 + y*11 + 5) % 256) AS sum_g,
+    SUM((i*31 + x*7 + y*11 + 10) % 256) AS sum_b
+  FROM px GROUP BY i, w, h
+),
+tu AS (SELECT i, w, h, unnest(generate_series(0, 7)) AS u FROM dim),
+tv AS (SELECT *, unnest(generate_series(0, 7)) AS v FROM tu),
+thumb AS (
+  SELECT i, SUM((i*31 + ((u*w)//8)*7 + ((v*h)//8)*11) % 256
+              + (i*31 + ((u*w)//8)*7 + ((v*h)//8)*11 + 5) % 256
+              + (i*31 + ((u*w)//8)*7 + ((v*h)//8)*11 + 10) % 256) AS thumb_sum
+  FROM tv GROUP BY i
+)
+SELECT s.i AS doc_id, CAST(s.w AS INT) AS width, CAST(s.h AS INT) AS height,
+       CAST(s.sum_r AS BIGINT) AS sum_r, CAST(s.sum_g AS BIGINT) AS sum_g,
+       CAST(s.sum_b AS BIGINT) AS sum_b,
+       CAST(t.thumb_sum AS BIGINT) AS thumb_sum
+FROM sums s JOIN thumb t ON t.i = s.i
+""",
+)
+def image_features_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real 24-bit BMP decode + channel sums + nearest-neighbor 8x8
+    thumbnail over a binary image column."""
+    from vt_grid_spark.operators.multimodal import image_features
+
+    return image_features(_media_corpus(spark, "image"))
+
+
+@register(
+    "audio_features_wav",
+    """
+WITH d AS (SELECT range AS i FROM range(0, 50)),
+a AS (SELECT i, unnest(generate_series(0, 399 + i % 50)) AS t FROM d),
+s AS (SELECT i, t, ((i*7 + t*13) % 2003) - 1001 AS v FROM a),
+z AS (
+  SELECT i, v, CASE WHEN v * lag(v) OVER (PARTITION BY i ORDER BY t) < 0
+               THEN 1 ELSE 0 END AS zc
+  FROM s
+)
+SELECT i AS doc_id, CAST(8000 + (i % 3) * 4000 AS INT) AS sample_rate,
+       CAST(400 + i % 50 AS BIGINT) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(SUM(zc) AS BIGINT) AS n_zero_cross
+FROM z GROUP BY i
+""",
+)
+def audio_features_wav(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real PCM16 WAV decode + exact integer energy / zero-crossing count."""
+    from vt_grid_spark.operators.multimodal import audio_features
+
+    return audio_features(_media_corpus(spark, "audio"))
+
+
+@register(
+    "video_frame_sample",
+    """
+WITH d AS (SELECT range AS i FROM range(0, 50)),
+fr AS (SELECT i, unnest(generate_series(0, 1 + i % 4)) AS f FROM d),
+keep AS (SELECT i, f, 8 + i % 3 AS w, 6 + i % 2 AS h FROM fr WHERE f % 2 = 0),
+gx AS (SELECT *, unnest(generate_series(0, w - 1)) AS x FROM keep),
+gy AS (SELECT *, unnest(generate_series(0, h - 1)) AS y FROM gx)
+SELECT i AS doc_id, CAST(f AS INT) AS frame_idx,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(SUM((i*17 + f*29 + x*3 + y*5) % 256
+              + (i*17 + f*29 + x*3 + y*5 + 1) % 256
+              + (i*17 + f*29 + x*3 + y*5 + 2) % 256) AS BIGINT) AS sum_px
+FROM gy GROUP BY i, f, w, h
+""",
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling over a length-prefixed BMP frame stream: every 2nd
+    frame is decoded (skipped frames are seeked over, never decoded)."""
+    from vt_grid_spark.operators.multimodal import frame_sample
+
+    return frame_sample(_media_corpus(spark, "video"), every_n=2)
 
 
 # ---------------------------------------------------------------------------
