@@ -509,7 +509,18 @@ def knn_cells_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("qid", F.col("rank").cast("long").alias("rank"), "url", "d2")
 
 
-@register("cells_to_raster_roundtrip")  # rows-only; exact roundtrip in pytest
+@register(
+    "cells_to_raster_roundtrip",
+    """
+WITH b AS (SELECT range AS id FROM range(0, 16)),
+px AS (SELECT id, unnest(generate_series(0, 255)) AS p FROM b)
+SELECT CAST(8 AS INT) AS tile_z,
+       CAST(id % 4 + 50 AS BIGINT) AS tile_x,
+       CAST(id // 4 + 60 AS BIGINT) AS tile_y,
+       ROUND(SUM(CAST((id * 13 + p * 3) % 89 AS DOUBLE)), 6) AS band_sum
+FROM px GROUP BY id
+""",
+)
 def cells_to_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vt_grid_spark.operators.raster import cells_to_raster, raster_to_cells
 
