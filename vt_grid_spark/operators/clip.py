@@ -17,7 +17,6 @@ the web-page corpus is points, which take the closed-form encode
 from __future__ import annotations
 
 import json
-import math
 from typing import Iterator
 
 import numpy as np

@@ -22,8 +22,6 @@ from typing import Callable
 import pandas as pd
 from pyspark.sql import DataFrame
 
-from vt_grid_spark import tilemath as tm
-
 
 def apply_custom_reducer(encoded: DataFrame, cell_z: int, mapper_z: int,
                          reduce_fn: Callable[[pd.DataFrame, tuple], dict],

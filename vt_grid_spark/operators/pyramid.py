@@ -13,7 +13,7 @@ the cache is cold and the level IS re-read from its checkpoint.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vt_grid_spark import tilemath as tm
@@ -24,7 +24,6 @@ from vt_grid_spark.operators.rollup import HOLISTIC, rollup_level
 from vt_grid_spark.plans.aggspec import AggSpec, compile_aggs
 from vt_grid_spark.plans.pyramid_plan import PyramidPlan
 from vt_grid_spark.sources.table_io import TableIO
-from vt_grid_spark.tilemath import grid_zoom
 
 # below this many rows a level is rolled up driver-side (pandas groupby):
 # at the top of the pyramid each level is one near-empty Spark job (~0.5-2 s

@@ -11,7 +11,6 @@ group-by with a dense-array assembly.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F

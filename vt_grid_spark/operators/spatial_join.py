@@ -21,7 +21,6 @@ boundary-cell rows pay the exact test.
 from __future__ import annotations
 
 import json
-from typing import Iterator
 
 import numpy as np
 import pandas as pd

@@ -7,7 +7,7 @@ sorted by basezoom desc with band continuity ``basezoom[i] == minzoom[i-1]``,
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 from vt_grid_spark.plans.aggspec import AggSpec
 from vt_grid_spark.tilemath import grid_zoom

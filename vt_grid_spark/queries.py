@@ -12,7 +12,6 @@ Oracle-parity rules (see SURVEY.md §7 g1/g8):
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
