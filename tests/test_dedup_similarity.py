@@ -209,3 +209,21 @@ def test_decode_image_stub_still_raises():
 
     with _pytest.raises(NotImplementedError):
         decode_image(b"\xff\xd8\xff")  # JPEG magic
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing's defining property: two documents sharing a substring of
+    length >= k+w-1 (= 8 here) must share at least one fingerprint."""
+    from vt_grid_spark.operators.textops import winnow_fingerprints
+
+    common = "the quick brown fox jumps over"
+    docs = spark.createDataFrame(
+        [(1, "aaa " + common + " bbb"),
+         (2, "cc " + common + " dddd ee"),
+         (3, "totally unrelated text here zz")],
+        "doc_id long, text string")
+    s: dict = {}
+    for r in winnow_fingerprints(docs).collect():
+        s.setdefault(r.doc_id, set()).add(r.fp)
+    assert s[1] & s[2]
+    assert len(s[3]) > 0

@@ -82,3 +82,34 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     whitespace-collapsed text (rolling-hash stand-in, oracle-safe)."""
     norm = F.lower(F.regexp_replace(F.trim(F.col(text_col)), "\\s+", " "))
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+# winnowing parameters shared with the DuckDB oracle
+WINNOW_BASE = 257
+WINNOW_MOD = 2_147_483_647
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (the MOSS scheme, Schleimer/
+    Wilkerson/Aiken 2003): a polynomial ROLLING hash over character
+    k-grams (H_i = sum code[i+j]*B^(k-1-j) mod M), then the minimum hash
+    of every w-window of consecutive hashes; the distinct window-mins are
+    the document's fingerprint set (guaranteed to share a fingerprint
+    with any document containing a common substring of length k+w-1).
+    Pure array expressions — JVM, no Python.  Output: (id, fp) rows."""
+    pows = [pow(WINNOW_BASE, k - 1 - j, WINNOW_MOD) for j in range(k)]
+    codes = (f"transform(sequence(1, length({text_col})),"
+             f" i -> ascii(substring({text_col}, i, 1)))")
+    terms = " + ".join(
+        f"element_at(_c, i + {j}) * {p}L" for j, p in enumerate(pows))
+    hashes = (f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
+              f" i -> ({terms}) % {WINNOW_MOD})")
+    mins = (f"transform(sequence(1, greatest(size(_h) - {w - 1}, 1)),"
+            f" i -> array_min(slice(_h, i, {w})))")
+    return (
+        df.select(F.col(id_col), F.col(text_col), F.expr(codes).alias("_c"))
+        .withColumn("_h", F.expr(hashes))
+        .select(id_col, F.explode(F.array_distinct(F.expr(mins))).alias("fp"))
+    )

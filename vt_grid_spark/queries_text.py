@@ -291,6 +291,46 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "hits_en", "hits_de", "hits_fr", "lang_pred")
 
 
+_WIN_POWS = [pow(257, 4 - j, 2_147_483_647) for j in range(5)]
+_WIN_TERMS = " + ".join(
+    f"CAST(c[CAST(i + {j} AS INT)] AS BIGINT) * {p}" for j, p in enumerate(_WIN_POWS))
+
+
+@register(
+    "winnow_fingerprints",
+    f"""
+WITH cc AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, length(text)),
+                        i -> ascii(substr(text, CAST(i AS INT), 1))) AS c,
+         length(text) AS n
+  FROM documents
+),
+h AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(n - 4, 1)),
+                        i -> ({_WIN_TERMS}) % 2147483647) AS h
+  FROM cc
+),
+m AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(h) - 3, 1)),
+           i -> list_min(h[CAST(i AS INT):CAST(i + 3 AS INT)]))) AS m
+  FROM h
+)
+SELECT doc_id, CAST(unnest(m) AS BIGINT) AS fp FROM m
+""",
+)
+def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash winnowing fingerprints (k=5, w=4) over the documents
+    table — the substring-robust fingerprint scheme next to the exact
+    whole-document md5 of doc_fingerprint."""
+    from vt_grid_spark.operators.textops import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf_dir))
+
+
 @register(
     "doc_fingerprint",
     r"""
