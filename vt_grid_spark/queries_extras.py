@@ -771,23 +771,28 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH pts AS ({_PAGES}),
 enc AS (
   SELECT {sq.tile_x_sql('lon', 5)} AS x, {sq.tile_y_sql('lat', 5)} AS y,
-         length(text) AS chars
+         length(text) AS chars, length(url) AS ulen
   FROM pts
 )
-SELECT x, y, COUNT(*) AS cnt, CAST(SUM(chars) AS BIGINT) AS chars
+SELECT x, y, COUNT(*) AS cnt, CAST(SUM(chars) AS BIGINT) AS chars,
+       CAST(MIN(ulen) AS BIGINT) AS umin, CAST(MAX(ulen) AS BIGINT) AS umax
 FROM enc GROUP BY x, y
 """,
 )
 def aggspec_parse_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CLI-style strings 'pages:count(cnt)' / 'pages:sum(chars)' parsed by
-    parse_agg_strings (reference regex semantics: output property = field
-    name, unknown reducers rejected) and EXECUTED as the compiled plan."""
+    """CLI-style strings parsed by parse_agg_strings (reference regex
+    semantics: output property = field name, unknown reducers rejected)
+    and EXECUTED as the compiled plan — covering count/sum/min/max."""
     from vt_grid_spark.operators.encode import cell_aggregate, encode_points
     from vt_grid_spark.plans.aggspec import compile_aggs, parse_agg_strings
 
-    aggs = parse_agg_strings(["pages:count(cnt)", "pages:sum(chars)"])
+    aggs = parse_agg_strings(["pages:count(cnt)", "pages:sum(chars)",
+                              "pages:min(umin)", "pages:max(umax)"])
     specs = aggs["pages"]
-    pts = _pts(spark, sf_dir).withColumn("chars", F.length("text").cast("long"))
+    pts = (_pts(spark, sf_dir)
+           .withColumn("chars", F.length("text").cast("long"))
+           .withColumn("umin", F.length("url").cast("long"))
+           .withColumn("umax", F.length("url").cast("long")))
     enc = encode_points(pts, 5, with_quadkey=False)
     out = cell_aggregate(enc, 5, compile_aggs(specs))
-    return out.select("x", "y", "cnt", "chars")
+    return out.select("x", "y", "cnt", "chars", "umin", "umax")
