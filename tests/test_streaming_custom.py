@@ -103,3 +103,54 @@ def test_stateful_sessionize_stream_equals_batch(spark, tmp_path):
             for r in sessionize_batch(events, gap_s=14400).collect()}
     assert len(want) > 50
     assert got == want
+
+
+def test_stateful_sessionize_checkpoint_restart(spark, tmp_path):
+    """Exactly-once across a restart: a first query processes part of the
+    input and STOPS; a second query starts from the same checkpoint, sees
+    only new files, and the union of both runs' appended output equals the
+    batch sessionization — no lost or duplicated sessions."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from vt_grid_spark.streaming.sessions import sessionize_batch, sessionize_stream
+
+    events = spark.read.parquet("/root/testdata/sf0.001/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    cut = "2024-01-15 00:00:00"
+    first, second = (events.where(F.col("ts") < cut),
+                     events.where(F.col("ts") >= cut))
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    first.coalesce(1).write.parquet(src)
+
+    def run_once():
+        stream = (spark.readStream.schema(events.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = (sessionize_stream(stream, gap_s=14400).writeStream
+             .outputMode("append").format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(180)
+
+    run_once()  # run 1: first half only, then the query STOPS
+
+    time.sleep(1.1)
+    second.coalesce(1).write.mode("append").parquet(src)
+    time.sleep(1.1)
+    sentinel = spark.createDataFrame([(1,)], "event_id long").select(
+        "event_id", F.to_timestamp(F.lit("2024-06-01 00:00:00")).alias("ts"),
+        F.lit(999_999).alias("user_id"), F.lit("x").alias("event_type"),
+        F.lit(0.0).alias("value"), F.lit("{}").alias("props"))
+    sentinel.coalesce(1).write.mode("append").parquet(src)
+
+    run_once()  # run 2: resumes from the checkpoint, flushes everything
+
+    got = {(r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+           for r in spark.read.parquet(out).collect() if r.user_id != 999_999}
+    want = {(r.user_id, r.session_start, r.session_end, r.n_events, r.sum_value)
+            for r in sessionize_batch(events, gap_s=14400).collect()}
+    assert len(want) > 50
+    assert got == want
