@@ -59,6 +59,67 @@ def test_decode_uncompressed_and_linestring():
     assert len(feats[0]["geometry"]["coordinates"]) == 3
 
 
+def test_multipoint_roundtrip():
+    """A MultiPoint feature is N MoveTo parts of one vertex each; decode
+    must keep every point (regression: only the first survived)."""
+    z, x, y = TILE
+    pts = [(100, 200), (700, 900), (3000, 50)]
+    layers = {"pages": [
+        {"geom_type": 1, "parts": [[p] for p in pts], "props": {}, "id": 1},
+    ]}
+    feats = mvt.decode_tile(mvt.encode_tile(layers), x, y, z)
+    g = feats[0]["geometry"]
+    assert g["type"] == "MultiPoint"
+    assert len(g["coordinates"]) == 3
+    for (px, py), (lon, lat) in zip(pts, g["coordinates"]):
+        assert abs(lon - float(tm.tile_to_lon(x + px / 4096.0, z))) < 1e-9
+        assert abs(lat - float(tm.tile_to_lat(y + py / 4096.0, z))) < 1e-9
+
+
+def test_multipolygon_ring_classification():
+    """Two exterior rings (positive shoelace area in y-down tile space) +
+    one hole: decode classifies by winding into MultiPolygon with the hole
+    attached to the FIRST polygon, matching vector-tile classifyRings."""
+    z, x, y = TILE
+    ext1 = [(10, 10), (500, 10), (500, 500), (10, 500), (10, 10)]        # CW on screen
+    hole = [(100, 100), (100, 200), (200, 200), (200, 100), (100, 100)]  # CCW
+    ext2 = [(1000, 1000), (2000, 1000), (2000, 2000), (1000, 2000), (1000, 1000)]
+    layers = {"adm": [
+        {"geom_type": 3, "parts": [ext1, hole, ext2], "props": {}, "id": 1},
+    ]}
+    feats = mvt.decode_tile(mvt.encode_tile(layers), x, y, z)
+    g = feats[0]["geometry"]
+    assert g["type"] == "MultiPolygon"
+    assert len(g["coordinates"]) == 2
+    assert len(g["coordinates"][0]) == 2  # exterior + hole
+    assert len(g["coordinates"][1]) == 1  # exterior only
+    # single exterior ring still decodes as plain Polygon
+    solo = mvt.decode_tile(mvt.encode_tile(
+        {"adm": [{"geom_type": 3, "parts": [ext1], "props": {}, "id": 2}]}), x, y, z)
+    assert solo[0]["geometry"]["type"] == "Polygon"
+
+
+def test_value_negative_int_and_mixed_type_dedup():
+    """field-4 int_value is signed (10-byte varint must mask back), and the
+    encoder must not conflate True == 1 == 1.0 when deduping values."""
+    # hand-craft a Value message with field 4 (int_value) = -5
+    buf = bytearray()
+    buf.append((4 << 3) | 0)
+    mvt._write_varint(buf, (1 << 64) - 5)  # two's-complement varint of -5
+    assert mvt._decode_value(bytes(buf)) == -5
+    # mixed-type property values survive a round-trip with correct types
+    z, x, y = TILE
+    layers = {"pages": [
+        {"geom_type": 1, "parts": [[(1, 1)]],
+         "props": {"a": True, "b": 1, "c": 1.0, "d": -7}, "id": 1},
+    ]}
+    props = mvt.decode_tile(mvt.encode_tile(layers), x, y, z)[0]["properties"]
+    assert props["a"] is True
+    assert props["b"] == 1 and not isinstance(props["b"], bool)
+    assert isinstance(props["c"], float)
+    assert props["d"] == -7
+
+
 def test_quantization_matches_cell_assignment():
     """lonlat -> extent int -> lonlat stays inside the same z-cell (the
     lossy MVT step must never move a point across its tile)."""

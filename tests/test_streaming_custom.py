@@ -105,6 +105,63 @@ def test_stateful_sessionize_stream_equals_batch(spark, tmp_path):
     assert got == want
 
 
+def test_stateful_sessionize_late_in_watermark_events(spark, tmp_path):
+    """Out-of-order events ACROSS microbatches — late but inside the 1h
+    watermark, the case watermarks exist for. A later batch delivers events
+    older than the stored session's `last`: one that extends the session
+    backwards (u1), one that falls inside its span (u2), and one old enough
+    to be its own earlier session (u3). Regression: the old handler compared
+    only the batch head against `last` and overwrote session_end with the
+    batch max, regressing the session backwards and diverging from batch."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from vt_grid_spark.streaming.sessions import sessionize_batch, sessionize_stream
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, t, u, "x", 1.0, "{}") for i, (u, t) in enumerate(rows)],
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string"
+        ).withColumn("ts", F.to_timestamp("ts"))
+
+    d = "2024-01-10 "
+    batch1 = mk([(1, d + "10:00:00"), (1, d + "10:10:00"),
+                 (2, d + "10:00:00"), (2, d + "10:15:00"),
+                 (3, d + "10:00:00")])
+    # all late events sit ABOVE the post-batch-1 watermark (10:15 - 1h)
+    batch2 = mk([(1, d + "09:55:00"), (1, d + "10:20:00"),
+                 (2, d + "10:05:00"),
+                 (3, d + "09:20:00")])
+    sentinel = mk([(999_999, "2024-06-01 00:00:00")])
+
+    src = str(tmp_path / "late_src")
+    batch1.coalesce(1).write.parquet(src)
+    for extra in (batch2, sentinel):
+        time.sleep(1.1)  # file mtime order == microbatch order
+        extra.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(batch1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (sessionize_stream(stream, gap_s=1200).writeStream
+         .outputMode("append").format("memory").queryName("late_sess")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r.user_id, str(r.session_start), str(r.session_end),
+            r.n_events, r.sum_value)
+           for r in spark.table("late_sess").collect() if r.user_id != 999_999}
+    all_events = batch1.unionByName(batch2)
+    want = {(r.user_id, str(r.session_start), str(r.session_end),
+             r.n_events, r.sum_value)
+            for r in sessionize_batch(all_events, gap_s=1200).collect()}
+    assert (1, d + "09:55:00", d + "10:20:00", 4, 4.0) in want  # extended back+fwd
+    assert (2, d + "10:00:00", d + "10:15:00", 3, 3.0) in want  # late inside span
+    assert len([w for w in want if w[0] == 3]) == 2             # split sessions
+    assert got == want
+
+
 def test_stateful_sessionize_checkpoint_restart(spark, tmp_path):
     """Exactly-once across a restart: a first query processes part of the
     input and STOPS; a second query starts from the same checkpoint, sees

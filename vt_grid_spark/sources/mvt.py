@@ -123,7 +123,12 @@ def _decode_value(buf: bytes):
             return struct.unpack("<f", v)[0]
         if field == 3:
             return struct.unpack("<d", v)[0]
-        if field == 4 or field == 5:
+        if field == 4:
+            # int_value is a plain varint of a SIGNED 64-bit int: a negative
+            # value arrives as its 10-byte two's-complement varint, which the
+            # unsigned varint walk reads as 2**64 - |v| — mask back to signed.
+            return v - (1 << 64) if v >> 63 else v
+        if field == 5:
             return v
         if field == 6:
             return _zigzag_decode(v)
@@ -216,13 +221,36 @@ def decode_tile(data: bytes, x: int, y: int, z: int) -> list[dict]:
                 ll_parts.append(np.column_stack([lon, lat]).tolist())
             t = _GEOM_TYPES.get(gtype, "Unknown")
             if t == "Point":
-                coords = ll_parts[0][0] if len(ll_parts[0]) == 1 else [p[0] for p in ll_parts]
-                t = "Point" if len(ll_parts[0]) == 1 else "MultiPoint"
+                # each MoveTo starts a new part, so every part holds exactly
+                # one vertex: multi-ness is the PART count, not vertex count
+                if len(ll_parts) == 1:
+                    coords = ll_parts[0][0]
+                else:
+                    coords = [pt for part in ll_parts for pt in part]
+                    t = "MultiPoint"
             elif t == "LineString":
                 coords = ll_parts[0] if len(ll_parts) == 1 else ll_parts
                 t = "LineString" if len(ll_parts) == 1 else "MultiLineString"
-            else:  # Polygon: treat each part as a ring of one polygon
-                coords = ll_parts
+            else:
+                # Polygon: classify rings by winding like the reference's
+                # toGeoJSON path (vector-tile classifyRings): in tile space
+                # (y down) an exterior ring is clockwise on screen, which is
+                # POSITIVE shoelace area; each positive ring starts a new
+                # polygon, negative rings are holes of the current one.
+                polys: list[list] = []
+                for part, ll in zip(parts, ll_parts):
+                    a = 0
+                    for (x0, y0), (x1, y1) in zip(part, part[1:]):
+                        a += x0 * y1 - x1 * y0
+                    if a >= 0 or not polys:
+                        polys.append([ll])
+                    else:
+                        polys[-1].append(ll)
+                if len(polys) == 1:
+                    coords = polys[0]
+                else:
+                    coords = polys
+                    t = "MultiPolygon"
             out.append({
                 "layer": name, "id": fid, "version": version,
                 "geometry": {"type": t, "coordinates": coords},
@@ -280,6 +308,9 @@ def encode_tile(layers: dict, compress: bool = True) -> bytes:
     for name, feats in layers.items():
         keys: list[str] = []
         values: list = []
+        # dedup values by (type, value): Python's == treats True == 1 == 1.0,
+        # which would serialize mixed-type properties with the wrong value
+        value_idx: dict = {}
         layer = bytearray()
         layer.append((15 << 3) | 0); _write_varint(layer, 2)  # version
         nb = name.encode("utf-8")
@@ -293,9 +324,11 @@ def encode_tile(layers: dict, compress: bool = True) -> bytes:
             for k, v in (ft.get("props") or {}).items():
                 if k not in keys:
                     keys.append(k)
-                if v not in values:
+                vk = (type(v).__name__, v)
+                if vk not in value_idx:
+                    value_idx[vk] = len(values)
                     values.append(v)
-                tags += [keys.index(k), values.index(v)]
+                tags += [keys.index(k), value_idx[vk]]
             if tags:
                 tb = bytearray()
                 for t in tags:

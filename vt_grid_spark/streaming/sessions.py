@@ -68,21 +68,31 @@ def _session_handler(gap_s: int):
             batch = pd.concat(parts).sort_values("ts")
             ts_us = batch["ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
             vals = batch["value"].to_numpy(dtype=np.float64)
-            carry = None
+            # Treat each event as a point interval and the stored OPEN
+            # session as a spanning interval, then gap-merge the sorted set.
+            # Late in-watermark events (older than the stored `last`) may
+            # precede, fall inside, or extend the stored session; comparing
+            # only the batch head against `last` (the old code) regressed
+            # session_end backwards and diverged from sessionize_batch.
+            starts, ends = ts_us, ts_us
+            ns = np.ones(len(ts_us), dtype=np.int64)
+            svs = vals
             if state.exists:
                 s0, l0, n0, sv0 = state.get
-                if ts_us[0] - l0 > gap_us:
-                    out.append((s0, l0, n0, sv0))  # old session closed by gap
-                else:
-                    carry = (s0, n0, sv0)
-            brk = np.nonzero(np.diff(ts_us) > gap_us)[0] + 1
-            bounds = np.concatenate([[0], brk, [len(ts_us)]])
+                starts = np.append(starts, s0)
+                ends = np.append(ends, l0)
+                ns = np.append(ns, n0)
+                svs = np.append(svs, sv0)
+                order = np.argsort(starts, kind="stable")
+                starts, ends = starts[order], ends[order]
+                ns, svs = ns[order], svs[order]
+            cummax_end = np.maximum.accumulate(ends)
+            brk = np.nonzero(starts[1:] - cummax_end[:-1] > gap_us)[0] + 1
+            bounds = np.concatenate([[0], brk, [len(starts)]])
             for a, b in zip(bounds[:-1], bounds[1:]):  # per session, not per row
-                st, en = int(ts_us[a]), int(ts_us[b - 1])
-                n, sv = int(b - a), float(vals[a:b].sum())
-                if a == 0 and carry is not None:
-                    st = int(carry[0]); n += int(carry[1]); sv += float(carry[2])
-                if b < len(ts_us):
+                st, en = int(starts[a]), int(cummax_end[b - 1])
+                n, sv = int(ns[a:b].sum()), float(svs[a:b].sum())
+                if b < len(starts):
                     out.append((st, en, n, sv))
                 else:
                     state.update((st, en, n, sv))
