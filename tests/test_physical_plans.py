@@ -65,6 +65,30 @@ def test_pip_join_broadcasts_cover(spark):
     p = plan_str(out, "simple")
     assert "BroadcastHashJoin" in p
     assert p.count("ArrowEvalPython") == 1  # exactly one vectorized refine
+    # single-pass candidates: the r2 full/boundary split unioned two
+    # branches, evaluating the scan+encode+join subtree twice
+    assert "Union" not in p
+
+
+def test_knn_cells_shuffle_join_above_threshold(spark):
+    """Above broadcast_threshold the (query, ring-cell) candidate relation
+    must reach the point table by SHUFFLE, not broadcast — an unbounded
+    query side would otherwise die on the driver (r2 ADVICE)."""
+    from vt_grid_spark.operators.knn import knn_cells
+    from vt_grid_spark.sources import pages
+
+    pts = pages.with_coords(pages.pages_df(spark, 500))
+    queries = spark.range(50).select(
+        F.col("id").alias("qid"),
+        (F.col("id") * 7.0 - 170.0).alias("lon"),
+        (F.col("id") * 2.0 - 50.0).alias("lat"))
+    big = knn_cells(pts, queries, 3, z=5, ring=1,
+                    broadcast_threshold=10, rering_steps=0)
+    assert "ShuffledHashJoin" in plan_str(big, "simple")
+    small = knn_cells(pts, queries, 3, z=5, ring=1,
+                      broadcast_threshold=1000, rering_steps=0)
+    # below the gate the candidate join stays broadcast (no fact shuffle)
+    assert "BroadcastHashJoin" in plan_str(small, "simple")
 
 
 def test_bbox_cover_pushdown(spark, tmp_path):

@@ -112,6 +112,58 @@ def test_knn_cells_distributed_queries(spark):
     assert len(b) == 60
 
 
+def test_polygon_cover_df_distributed(spark):
+    """Executor-side cover construction (mapInPandas, no driver quadtree
+    loop) matches the per-polygon kernel, including multi-part merge, at a
+    polygon count where a driver loop would serialize (~10^3)."""
+    from tests.test_physical_plans import plan_str
+    from vt_grid_spark.operators.spatial_join import polygon_cover_df
+
+    polys = []
+    for i in range(1000):
+        cx, cy = -170.0 + (i % 40) * 8.0, -60.0 + (i // 40) * 4.5
+        ring = [[cx, cy], [cx + 1.5, cy], [cx + 1.5, cy + 1.2],
+                [cx, cy + 1.2], [cx, cy]]
+        polys.append((i, json.dumps({"type": "Polygon", "coordinates": [ring]})))
+    pdf = spark.createDataFrame(polys, "poly_id long, geometry_json string")
+    cover = polygon_cover_df(pdf, z=7)
+    assert "Exchange" not in plan_str(cover)  # narrow: no shuffle
+    got = {}
+    for r in cover.collect():
+        got.setdefault(r.poly_id, {})[(r.x, r.y)] = r.full
+    assert len(got) == 1000
+    for pid in (0, 499, 999):
+        rings = json.loads(dict(polys)[pid])["coordinates"]
+        want = {}
+        for x, y, full in polygon_cover_cells(rings, 7):
+            want[(x, y)] = want.get((x, y), False) or full
+        assert got[pid] == want
+
+
+def test_knn_cells_many_queries_shuffle_path(spark):
+    """10^5 queries force the shuffle-join path (threshold exceeded); the
+    operator stays exact — spot-checked against brute force, full row
+    count verified. Points are a dense deterministic scatter so rings
+    prove nearly everywhere (the production regime); escalation residue
+    still exercises the re-ring path."""
+    pts = spark.range(20_000).select(
+        F.concat(F.lit("p"), F.col("id")).alias("url"),
+        (F.pmod(F.col("id") * 29.33, F.lit(360.0)) - 180.0).alias("lon"),
+        (F.pmod(F.col("id") * 11.71, F.lit(150.0)) - 75.0).alias("lat"))
+    queries = spark.range(100_000).select(
+        F.col("id").alias("qid"),
+        (F.pmod(F.col("id") * 37.77, F.lit(360.0)) - 180.0).alias("lon"),
+        (F.pmod(F.col("id") * 13.13, F.lit(140.0)) - 70.0).alias("lat"))
+    out = knn_cells(pts, queries, 3, z=6, ring=1, broadcast_threshold=10_000)
+    assert out.count() == 300_000  # every query proves or escalates to k
+    sample_ids = list(range(0, 100_000, 9973))
+    sq = queries.where(F.col("qid").isin(sample_ids))
+    b = sorted((r.qid, r.rank, r.url) for r in knn_bruteforce(pts, sq, 3).collect())
+    c = sorted((r.qid, r.rank, r.url)
+               for r in out.where(F.col("qid").isin(sample_ids)).collect())
+    assert b == c
+
+
 def _blocks(spark, k=4, nblocks=8):
     side2 = (1 << k) ** 2
     return spark.range(nblocks).select(

@@ -100,14 +100,24 @@ def _ring_boundary_d2(z: int, ring: int):
 
 
 def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
-              ring: int = 1, point_id: str = "url", query_id: str = "qid") -> DataFrame:
+              ring: int = 1, point_id: str = "url", query_id: str = "qid",
+              broadcast_threshold: int = 100_000,
+              rering_steps: int = 1) -> DataFrame:
     """Cell-bucketed EXACT kNN: ring candidates + safety-radius-verified
-    top-k, brute-force escalation for queries the ring can't prove.
+    top-k, bounded re-ring escalation, brute-force only for the residue.
 
     Fully distributed: candidate cells come from an explode over the ring
-    offsets (queries may be an arbitrarily large DataFrame — no collect);
-    the keep/escalate decision is a window over the per-query top-k inside
-    the same job graph.
+    offsets — no collect.  The (query, ring-cell) candidate relation is
+    broadcast only while the query side is provably small
+    (``broadcast_threshold`` queries, probed with a short-circuiting
+    ``limit(n+1).count()``); above that it reaches the point table by a
+    shuffle-hash join on (x, y), so an arbitrarily large query DataFrame
+    degrades to a shuffle instead of killing the driver.  Queries the ring
+    cannot PROVE (fewer than k candidates, or the kth distance not strictly
+    inside the ring's safety radius) escalate ``rering_steps`` times with a
+    doubled-plus-one ring before the final brute-force pass — the
+    escalation set shrinks geometrically, so brute force only ever sees a
+    vanishing residue.
     """
     n_tiles = 1 << z
     enc_p = encode_points(points, z, with_quadkey=False)
@@ -134,7 +144,14 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
         .where((F.col("y") >= 0) & (F.col("y") < n_tiles))
     )
 
-    cand = enc_p.join(F.broadcast(cells), ["x", "y"]).withColumn(
+    # size gate: limit(n+1).count() stops scanning past the threshold, so
+    # the probe is O(threshold) regardless of |Q|
+    small_q = (broadcast_threshold > 0 and
+               queries.limit(broadcast_threshold + 1).count()
+               <= broadcast_threshold)
+    cells_j = F.broadcast(cells) if small_q else cells.hint("shuffle_hash")
+
+    cand = enc_p.join(cells_j, ["x", "y"]).withColumn(
         "d2", _d2(F.col("_qlon"), F.col("_qlat"), F.col("lon"), F.col("lat"))
     )
     w = Window.partitionBy(query_id).orderBy(F.col("d2").asc(), F.col(point_id).asc())
@@ -157,8 +174,16 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     )
 
     # escalate the rest (includes queries with an empty ring, which never
-    # reach topk) — brute force over the full point set, still one DAG
+    # reach topk): widen the ring rering_steps times, then brute force the
+    # residue over the full point set — still one DAG
     esc_q = queries.join(
         proven.select(query_id).distinct(), query_id, "left_anti")
-    brute = knn_bruteforce(points, esc_q, k, point_id=point_id, query_id=query_id)
-    return proven.unionByName(brute)
+    if rering_steps > 0:
+        rest = knn_cells(points, esc_q, k, z=z, ring=2 * ring + 1,
+                         point_id=point_id, query_id=query_id,
+                         broadcast_threshold=broadcast_threshold,
+                         rering_steps=rering_steps - 1)
+    else:
+        rest = knn_bruteforce(points, esc_q, k,
+                              point_id=point_id, query_id=query_id)
+    return proven.unionByName(rest)

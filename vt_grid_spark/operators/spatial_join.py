@@ -5,22 +5,25 @@ by the north rule.  Design for 100 TB:
 
   1. COVER (small side): slice each polygon into its covering cells at a
      fixed zoom (reusing the clip quadtree, filter off) — this is the
-     polygon's "index".  Polygons are the dimension table; the cover is
-     broadcast.
+     polygon's "index".  The cover is built DISTRIBUTED: a mapInPandas
+     pass over the polygon table runs the numpy quadtree kernel per
+     polygon on the executors (a 10^5-polygon dimension would serialize
+     the driver otherwise), and only the resulting (poly_id, x, y, full)
+     cells are broadcast.
   2. EQUI-JOIN: points encoded at the same zoom equi-join the cover on
      (x, y) — a broadcast hash join, NO shuffle of the fact table.
   3. REFINE: exact even-odd ray-casting test, vectorized numpy inside a
-     pandas UDF over Arrow batches (only candidate rows pay it).
-
-Interior cells skip refinement entirely: the cover marks cells wholly
-inside a polygon ``full``, and the candidate set is split JVM-side on that
-flag — full-cell rows are accepted with no Arrow crossing, only
-boundary-cell rows pay the exact test.
+     pandas UDF over Arrow batches, in a SINGLE pass over the candidates:
+     the cover's ``full`` flag rides into the kernel, which accepts
+     full-cell rows with a mask (no ray cast) and ray-casts only
+     boundary-cell rows.  One scan + one join + one ArrowEvalPython —
+     the r2 two-branch split evaluated the whole candidate subtree twice.
 """
 
 from __future__ import annotations
 
 import json
+from typing import Iterator
 
 import numpy as np
 import pandas as pd
@@ -64,6 +67,40 @@ def polygon_cover_cells(rings: list, z: int):
     return out
 
 
+def _geom_rings(geom: dict) -> list:
+    """GeoJSON Polygon/MultiPolygon -> list of ring-lists (one per part)."""
+    return [geom["coordinates"]] if geom["type"] == "Polygon" \
+        else geom["coordinates"]
+
+
+def polygon_cover_df(polygons: DataFrame, z: int,
+                     poly_id: str = "poly_id",
+                     geometry_json: str = "geometry_json") -> DataFrame:
+    """Distributed cover construction: one quadtree descent per polygon,
+    run on the executors via mapInPandas (narrow — no shuffle).  Cells of
+    a multi-part polygon are merged per (x, y) with OR on ``full`` inside
+    the kernel, so no downstream dedup aggregation is needed."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, xs, ys, fulls = [], [], [], []
+            for pid, gj in zip(pdf[poly_id], pdf[geometry_json]):
+                seen: dict[tuple, bool] = {}
+                for rings in _geom_rings(json.loads(gj)):
+                    for x, y, full in polygon_cover_cells(rings, z):
+                        seen[(x, y)] = seen.get((x, y), False) or full
+                for (x, y), full in seen.items():
+                    ids.append(pid); xs.append(x); ys.append(y)
+                    fulls.append(full)
+            yield pd.DataFrame({poly_id: pd.array(ids, dtype="int64"),
+                                "x": pd.array(xs, dtype="int64"),
+                                "y": pd.array(ys, dtype="int64"),
+                                "full": pd.array(fulls, dtype="bool")})
+
+    return polygons.select(poly_id, geometry_json).mapInPandas(
+        gen, schema=f"{poly_id} long, x long, y long, full boolean")
+
+
 def points_in_polygon_numpy(lon: np.ndarray, lat: np.ndarray, rings: list) -> np.ndarray:
     """Vectorized even-odd ray casting for N points against one polygon
     (outer ring + holes). Half-open edge semantics (standard crossing rule)."""
@@ -84,25 +121,30 @@ def points_in_polygon_numpy(lon: np.ndarray, lat: np.ndarray, rings: list) -> np
 
 def _make_pip_udf(geoms: dict):
     """Vectorized refine UDF with the polygon dict captured in the closure
-    (broadcast with the task) — only (lon, lat, poly_id) cross Arrow, not
-    a geometry string per row.  It is applied ONLY to boundary-cell rows:
-    the candidate set is split JVM-side on the cover's ``full`` flag, so
-    rows in cells wholly inside a polygon never pay the Arrow transfer at
-    all (r1 bench: ~most of pip wall time was full-cell rows crossing into
-    Python just to return True)."""
+    (shipped once per stage via the task broadcast) — only (lon, lat,
+    poly_id, full) cross Arrow, never a geometry string per row.  The
+    ``full`` flag short-circuits inside the kernel: full-cell rows are
+    accepted by mask with zero ray-cast work, so the whole candidate set
+    flows through ONE filter pass (no double evaluation of the upstream
+    scan + encode + join subtree)."""
 
-    def kernel(lon: pd.Series, lat: pd.Series, poly_id: pd.Series) -> pd.Series:
-        lon_v = lon.to_numpy(dtype=np.float64)
-        lat_v = lat.to_numpy(dtype=np.float64)
-        pid_v = poly_id.to_numpy()
-        out = np.zeros(len(lon_v), dtype=bool)
-        for pid in pd.unique(pid_v):
-            polys = geoms[pid]
-            pos = np.nonzero(pid_v == pid)[0]
-            hit = np.zeros(len(pos), dtype=bool)
-            for rings in polys:
-                hit |= points_in_polygon_numpy(lon_v[pos], lat_v[pos], rings)
-            out[pos] = hit
+    def kernel(lon: pd.Series, lat: pd.Series, poly_id: pd.Series,
+               full: pd.Series) -> pd.Series:
+        out = full.to_numpy(dtype=bool).copy()
+        todo = np.nonzero(~out)[0]
+        if len(todo):
+            lon_v = lon.to_numpy(dtype=np.float64)[todo]
+            lat_v = lat.to_numpy(dtype=np.float64)[todo]
+            pid_v = poly_id.to_numpy()[todo]
+            hit = np.zeros(len(todo), dtype=bool)
+            for pid in pd.unique(pid_v):
+                polys = geoms[pid]
+                pos = np.nonzero(pid_v == pid)[0]
+                h = np.zeros(len(pos), dtype=bool)
+                for rings in polys:
+                    h |= points_in_polygon_numpy(lon_v[pos], lat_v[pos], rings)
+                hit[pos] = h
+            out[todo] = hit
         return pd.Series(out)
 
     return pandas_udf(kernel, "boolean")
@@ -115,34 +157,19 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame, z: int = 9,
     """points ⋈ polygons (containment). polygons is the SMALL side.
 
     Returns the points columns + poly_id.  Broadcast cover join + exact
-    refine; full cells skip the refine UDF entirely.
+    refine in one pass; full-cell rows short-circuit inside the kernel.
+    The only driver-side collect is the geometry strings for the refine
+    closure (dimension-sized); cover construction runs on the executors.
     """
-    spark = points.sparkSession
-    polys = polygons.select(poly_id, geometry_json).collect()
-    cover_rows = []
-    geoms: dict = {}
-    for r in polys:
-        geom = json.loads(r[geometry_json])
-        rings_list = [geom["coordinates"]] if geom["type"] == "Polygon" else geom["coordinates"]
-        geoms[r[poly_id]] = rings_list
-        seen: dict[tuple, bool] = {}
-        for rings in rings_list:
-            for x, y, full in polygon_cover_cells(rings, z):
-                seen[(x, y)] = seen.get((x, y), False) or full
-        for (x, y), full in seen.items():
-            cover_rows.append((r[poly_id], int(x), int(y), bool(full)))
-    cover = spark.createDataFrame(
-        cover_rows, f"{poly_id} long, x long, y long, full boolean")
+    cover = polygon_cover_df(polygons, z, poly_id=poly_id,
+                             geometry_json=geometry_json)
+    geoms = {r[poly_id]: _geom_rings(json.loads(r[geometry_json]))
+             for r in polygons.select(poly_id, geometry_json).collect()}
 
     enc = encode_points(points, z, lon=lon, lat=lat, with_quadkey=False)
     cand = enc.join(F.broadcast(cover), ["x", "y"])
-    # JVM-side split on the cover's `full` flag: rows in cells wholly
-    # inside a polygon are accepted with ZERO Arrow traffic; only
-    # boundary-cell rows enter the exact-refine UDF.  The split sits
-    # AFTER the broadcast join, so the upstream scan+encode is narrow and
-    # cheap to evaluate per branch (no shuffle is repeated).
-    inside = cand.where(F.col("full"))
     pip_udf = _make_pip_udf(geoms)
-    boundary = cand.where(~F.col("full")).where(
-        pip_udf(F.col(lon), F.col(lat), F.col(poly_id)))
-    return inside.unionByName(boundary).drop("x", "y", "zoom", "full")
+    return (
+        cand.where(pip_udf(F.col(lon), F.col(lat), F.col(poly_id), F.col("full")))
+        .drop("x", "y", "zoom", "full")
+    )
