@@ -377,16 +377,6 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, qv, 20)
 
 
-@register("ann_lsh_topk")  # no oracle: approximate operator, recall tested in pytest
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vt_grid_spark.operators.similarity import ann_cosine_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    row0 = emb.where(F.col("vec_id") == 0).collect()[0]
-    qv = [float(v) for v in row0.embedding]
-    return ann_cosine_topk(emb, qv, 20, dim=len(qv), n_planes=8, probe_hamming=1)
-
-
 # ---------------------------------------------------------------------------
 # Batch ANN pair join (embedding dedup): LSH-bucket self-join candidates +
 # exact cosine refine.  The hyperplanes are deterministic md5-derived
@@ -410,6 +400,47 @@ def _ann_bucket_sql(t: int) -> str:
         f" THEN {1 << p} ELSE 0 END)"
         for p in range(_ANN_PLANES)
     )
+
+
+def _lsh_topk_oracle_sql() -> str:
+    """The approximate operator is EXACTLY oracle-able: the hyperplanes are
+    md5-deterministic literals, so DuckDB rebuilds the identical bucket per
+    row, applies the same Hamming<=1 probe set, and takes exact top-k
+    within the probed buckets (table-0 planes == lsh_bucket's planes)."""
+    bucket_ve = _ann_bucket_sql(0)
+    bucket_qv = _ann_bucket_sql(0).replace("(ve,", "(qv,")
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+qb AS (SELECT ({bucket_qv})::BIGINT AS qbucket FROM q),
+bk AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve,
+         ({bucket_ve})::BIGINT AS bucket
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id,
+         ROUND(list_dot_product(ve, qv)
+               / (sqrt(list_dot_product(ve, ve))
+                  * sqrt(list_dot_product(qv, qv))), 6) AS cos
+  FROM bk, qb, q
+  WHERE bit_count(xor(bucket, qbucket)) <= 1
+)
+SELECT rank, vec_id, cos FROM (
+  SELECT vec_id, cos,
+         CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM s
+) WHERE rank <= 20
+"""
+
+
+@register("ann_lsh_topk", _lsh_topk_oracle_sql())
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vt_grid_spark.operators.similarity import ann_cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    row0 = emb.where(F.col("vec_id") == 0).collect()[0]
+    qv = [float(v) for v in row0.embedding]
+    return ann_cosine_topk(emb, qv, 20, dim=len(qv), n_planes=8, probe_hamming=1)
 
 
 _ANN_CORPUS = """
