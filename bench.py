@@ -14,6 +14,17 @@ of 2 builds (the first build in a fresh JVM pays whole-stage-codegen JIT,
 a constant that is not engine cost); each query is warmed once at sf0.001
 (compiles the same generated code for the plan shape) and timed once at
 the benchmark scale.
+
+Box-health gating: this host is a shared microVM whose hypervisor
+neighbors inflate wall times 1.5-4x for hours at a time (BASELINE.md
+round-2 table; the committed BENCH_r02 query numbers were ~2.1x the
+engine's real cost for exactly this reason).  The warm headline IS the
+probe: its quiet-box band is 2.6-3.7 s (sf0.1, 32 cores).  When the
+best-of-2 lands above 1.5x the band ceiling, the bench retries the build
+up to 2 more times; if it still can't reach the band, the output is
+stamped ``"box_probe": {"contaminated": true}`` and a loud warning goes
+to stderr — numbers in a contaminated JSON measure the neighbor, not the
+engine, and must not be compared across rounds.
 """
 
 from __future__ import annotations
@@ -55,8 +66,18 @@ def main():
                        gridsize=1, salt_buckets=16)
     pts.count()  # warm input generation outside the timed section
 
+    # quiet-box reference band for the warm headline (sf0.1, 32 cores);
+    # only meaningful at that configuration
+    QUIET_BAND = (2.6, 3.7)
+    band_applies = (sf == "sf0.1" and CPUS == 32)
+    gate = QUIET_BAND[1] * 1.5
+
     walls = []
-    for _ in range(2):  # best-of-2: first build pays fresh-JVM codegen JIT
+    # best-of-2 baseline (first build pays fresh-JVM codegen JIT); up to 2
+    # extra attempts if the box probe says a neighbor is eating the machine
+    for attempt in range(4):
+        if attempt >= 2 and (not band_applies or min(walls) <= gate):
+            break
         out_dir = tempfile.mkdtemp(
             prefix="vtgrid_bench_",
             dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
@@ -68,6 +89,19 @@ def main():
         finally:
             shutil.rmtree(out_dir, ignore_errors=True)
     wall = min(walls)
+
+    contaminated = band_applies and wall > gate
+    box_probe = {
+        "probe_wall": round(wall, 3),
+        "quiet_band": list(QUIET_BAND),
+        "band_applies": band_applies,
+        "contaminated": contaminated,
+    }
+    if contaminated:
+        print(f"WARNING: box probe {wall:.2f}s exceeds {gate:.2f}s "
+              f"(quiet band {QUIET_BAND[0]}-{QUIET_BAND[1]}s) — hypervisor "
+              "neighbor contention; these numbers measure the box, not the "
+              "engine. Re-run in a quiet window.", file=sys.stderr)
 
     # --- per-query timings (codegen warmed at sf0.001, timed at SF_DIR) -------
     # clearCache between runs: operators that cache intermediates (minhash
@@ -92,7 +126,9 @@ def main():
         "unit": "sec",
         "sf": sf,
         "cpus": CPUS,
-        "protocol": {"headline": "min of 2 builds (fresh-JVM JIT excluded)",
+        "box_probe": box_probe,
+        "protocol": {"headline": "min of >=2 builds (fresh-JVM JIT excluded; "
+                                 "extra attempts if the box probe is hot)",
                      "queries": "warmed at sf0.001, timed once at sf",
                      "headline_walls": [round(w, 3) for w in walls]},
         "tiles_per_sec": round(total_tiles / wall, 1),

@@ -172,13 +172,22 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
         .where((F.col("_n") >= k) & (F.col("_d2k") < F.col("_bd2")))
         .select(query_id, "rank", F.col(point_id), "d2")
     )
+    # persist: `proven` feeds BOTH the output union and the escalation
+    # anti-join; without it each escalation level re-evaluates the whole
+    # scan+join+window subtree of every level above it (~2x per level).
+    # Size is bounded by the operator's own output (|Q| * k rows),
+    # distributed, spills to disk — never driver-resident.
+    proven = proven.persist()
 
     # escalate the rest (includes queries with an empty ring, which never
     # reach topk): widen the ring rering_steps times, then brute force the
-    # residue over the full point set — still one DAG
+    # residue over the full point set — still one DAG.  Below the broadcast
+    # gate the brute residue is already bounded by threshold * |P| (the
+    # same magnitude as the ring join itself), so the extra re-ring level
+    # would cost more than it saves — go straight to brute there.
     esc_q = queries.join(
         proven.select(query_id).distinct(), query_id, "left_anti")
-    if rering_steps > 0:
+    if rering_steps > 0 and not small_q:
         rest = knn_cells(points, esc_q, k, z=z, ring=2 * ring + 1,
                          point_id=point_id, query_id=query_id,
                          broadcast_threshold=broadcast_threshold,
