@@ -93,7 +93,14 @@ def probe() -> dict:
     ~2.6-3.7 s; hypervisor neighbor contention inflates it 1.5-4x and
     invalidates RATIO measurements too (the low- and high-parallelism
     sides absorb contention asymmetrically) — treat results with
-    probe_wall > ~4.5 s as contaminated and re-run later."""
+    probe_wall > ~4.5 s as contaminated and re-run later.
+
+    Caveat (round-3 lesson, BASELINE.md): a 32-thread probe can UNDER-
+    detect — with 16 physical cores + SMT, a fixed neighbor load hides in
+    the probe's hyperthread slack yet inflates a 16-core-pinned run ~2x.
+    A clean probe is necessary, not sufficient; the definitive control is
+    a same-moment A/B of the current engine vs a pinned older commit on
+    the same workload (the 64M/16-core recipe in BASELINE.md round 3)."""
     r = run(32, 500_000, reps=2)
     return {"probe_points": 500_000, "probe_cores": 32,
             "probe_wall": round(r["wall"], 2), "quiet_reference": 2.65}
@@ -106,10 +113,12 @@ def main():
     pb = probe()
     low = run(c_low, n)
     high = run(c_high, n)
+    pa = probe()  # the box can degrade MID-measurement; bracket it
     eff = (low["wall"] / high["wall"]) / (c_high / c_low)
     result = {
         "input_points": n,
         "box_probe": pb,
+        "box_probe_after": pa,
         "runs": [low, high],
         "speedup": round(low["wall"] / high["wall"], 3),
         "core_ratio": c_high / c_low,

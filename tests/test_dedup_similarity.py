@@ -175,6 +175,64 @@ def test_quality_and_lang_sane(spark):
     assert en > 250
 
 
+def test_gopher_rules_on_adversarial_junk(spark):
+    """Gopher/C4 gates on hand-built junk: each failure mode trips exactly
+    the rule built for it, and a clean document passes everything
+    (VERDICT r2 'Next round' #8)."""
+    from vt_grid_spark.operators.textops import with_gopher_quality
+
+    good = ("A quick brown fox jumped over the lazy dog near "
+            "the big river bank. " * 5).strip()
+    docs = [
+        (0, good),
+        (1, "\n".join(f"- item number {i} in the list" for i in range(20))),
+        (2, "\n".join(f"this line about the topic trails off number {i} ..."
+                      for i in range(10))),
+        (3, "The same exact line of text here.\n" * 20),
+        (4, "too short."),
+        (5, "# tag " * 60),
+        (6, "12345 67890 " * 30),
+        (7, "pneumonoultramicroscopicsilico volcanoconiosistermino " * 30),
+        (8, good + " var x = {a: 1}"),
+        (9, "Lorem ipsum dolor sit amet."),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    rows = {r.doc_id: r for r in with_gopher_quality(df).collect()}
+
+    assert rows[0].gopher_pass and rows[0].c4_pass
+    assert not rows[1].gopher_pass and rows[1].bullet_line_frac > 0.9
+    assert not rows[2].gopher_pass and rows[2].ellipsis_line_frac > 0.3
+    assert not rows[3].gopher_pass and rows[3].dup_line_frac > 0.3
+    assert not rows[4].gopher_pass and rows[4].n_words < 50
+    assert not rows[5].gopher_pass and rows[5].symbol_word_ratio > 0.1
+    assert not rows[6].gopher_pass and rows[6].alpha_word_frac < 0.8
+    assert not rows[6].gopher_pass and rows[6].gopher_stop_hits == 0
+    assert not rows[7].gopher_pass and rows[7].mean_word_len > 10.0
+    assert rows[8].has_brace and not rows[8].c4_pass
+    assert rows[9].has_lorem and not rows[9].c4_pass
+
+
+def test_lang_id_five_languages(spark):
+    """Extended stopword lists: each language's text lands on its own
+    label despite heavy romance-language stopword overlap; lowercasing
+    counts capitalized stopwords."""
+    from vt_grid_spark.operators.textops import with_lang_id
+
+    docs = [
+        (0, "The THE the cat and a dog in the house for it is fun."),
+        (1, "der Hund und die Katze ist ein Tier mit den anderen im Haus"),
+        (2, "le chat est dans la maison et les enfants sont pour la paix sur un banc"),
+        (3, "el perro y la casa es una cosa que por con para del como se no su al"),
+        (4, "il cane e la casa è una cosa che per con del non si al da come più anche di"),
+        (5, "zzz qqq xxx"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: r.lang_pred for r in with_lang_id(df).collect()}
+    assert got == {0: "en", 1: "de", 2: "fr", 3: "es", 4: "it", 5: "unknown"}
+    hits = {r.doc_id: r.hits_en for r in with_lang_id(df).collect()}
+    assert hits[0] >= 8  # THE/The lowercased into the count
+
+
 def test_bmp_wav_video_roundtrips():
     """Real multimodal decoders: encode -> decode is exact for BMP (incl.
     row padding), WAV (PCM16), and the frame stream; resize picks the

@@ -235,60 +235,157 @@ def simhash_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Text quality / language id / token counting / fingerprint
 # ---------------------------------------------------------------------------
 
-@register(
-    "text_quality",
-    r"""
-WITH t AS (
-  SELECT doc_id,
+from vt_grid_spark.operators.textops import GOPHER, STOPWORDS
+
+
+def _sw_sql(lang: str) -> str:
+    return "[" + ", ".join("'" + w.replace("'", "''") + "'"
+                           for w in STOPWORDS[lang]) + "]"
+
+
+_EN_HITS = (f"len(list_filter(ws, x -> list_contains({_sw_sql('en')}, x)))")
+
+# Gopher/C4 fragments shared with textops.with_gopher_quality — identical
+# thresholds (textops.GOPHER), identical 6dp rounding BEFORE the gates
+_GOPHER_CTE = r"""
+t AS (
+  SELECT doc_id, text,
          length(text) AS n_chars_q,
          regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]', 0) AS toks,
-         string_split_regex(trim(text), '\s+') AS ws
+         string_split_regex(trim(text), '\s+') AS ws0,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS ws,
+         list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)),
+                     x -> x <> '') AS lines,
+         list_filter(list_transform(string_split_regex(text, '[.!?]'),
+                                    x -> trim(x)), x -> x <> '') AS sents
   FROM documents
+),
+m AS (
+  SELECT doc_id, n_chars_q, toks, ws0, ws, lines,
+    CAST(len(ws) AS BIGINT) AS n_words,
+    greatest(len(ws), 1) AS nw,
+    greatest(len(lines), 1) AS nl,
+    ROUND(COALESCE(list_sum(list_transform(ws, x -> length(x))), 0)::DOUBLE
+          / greatest(len(ws), 1), 6) AS mean_word_len,
+    ROUND(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+          / greatest(len(ws), 1), 6) AS alpha_word_frac,
+    ROUND((
+        (length(text) - length(replace(text, '#', '')))
+      + (length(text) - length(replace(text, '…', '')))
+      + CAST((length(replace(text, '…', ''))
+              - length(replace(replace(text, '…', ''), '...', ''))) / 3 AS BIGINT)
+    )::DOUBLE / greatest(len(ws), 1), 6) AS symbol_word_ratio,
+    ROUND(len(list_filter(lines, x -> starts_with(x, '-') OR starts_with(x, '*')
+                                      OR starts_with(x, '•')))::DOUBLE
+          / greatest(len(lines), 1), 6) AS bullet_line_frac,
+    ROUND(len(list_filter(lines, x -> ends_with(x, '...') OR ends_with(x, '…')))::DOUBLE
+          / greatest(len(lines), 1), 6) AS ellipsis_line_frac,
+    ROUND((len(lines) - len(list_distinct(lines)))::DOUBLE
+          / greatest(len(lines), 1), 6) AS dup_line_frac,
+    CAST(len(list_filter(ws, x -> list_contains(__EN_SW__, x))) AS BIGINT)
+      AS gopher_stop_hits,
+    CAST(len(sents) AS BIGINT) AS n_sentences,
+    contains(text, '{') AS has_brace,
+    contains(lower(text), 'lorem ipsum') AS has_lorem,
+    ROUND(len(list_filter(lines, x -> regexp_matches(x, '[.!?"]$')))::DOUBLE
+          / greatest(len(lines), 1), 6) AS terminal_line_frac
+  FROM t
 )
+""".strip().replace("__EN_SW__", _sw_sql("en"))
+
+_GOPHER_PASS = (
+    f"(n_words >= {GOPHER['min_words']} AND n_words <= {GOPHER['max_words']}"
+    f" AND mean_word_len >= {GOPHER['min_mean_word_len']}"
+    f" AND mean_word_len <= {GOPHER['max_mean_word_len']}"
+    f" AND symbol_word_ratio <= {GOPHER['max_symbol_word_ratio']}"
+    f" AND bullet_line_frac <= {GOPHER['max_bullet_line_frac']}"
+    f" AND ellipsis_line_frac <= {GOPHER['max_ellipsis_line_frac']}"
+    f" AND alpha_word_frac >= {GOPHER['min_alpha_word_frac']}"
+    f" AND gopher_stop_hits >= {GOPHER['min_stop_hits']}"
+    f" AND dup_line_frac <= {GOPHER['max_dup_line_frac']})"
+)
+
+
+@register(
+    "text_quality",
+    f"""
+WITH {_GOPHER_CTE}
 SELECT doc_id,
   CAST(n_chars_q AS BIGINT) AS n_chars_q,
   CAST(len(toks) AS BIGINT) AS n_tokens,
-  CAST(len(ws) AS BIGINT) AS n_ws_tokens,
-  CAST(len(list_filter(ws, x -> list_contains(['the','a','and','of','to','in','is','it'], x))) AS BIGINT) AS stop_hits,
+  CAST(len(ws0) AS BIGINT) AS n_ws_tokens,
+  CAST({_EN_HITS.replace('ws,', 'ws0,')} AS BIGINT) AS stop_hits,
   ROUND(len(list_filter(toks, x -> regexp_full_match(x, '[^A-Za-z0-9]')))::DOUBLE / len(toks), 6) AS punct_ratio,
-  ROUND(LEAST(1.0, len(ws) / 50.0) * 0.5
-      + LEAST(1.0, len(list_filter(ws, x -> list_contains(['the','a','and','of','to','in','is','it'], x))) / 5.0) * 0.3
-      + (1.0 - LEAST(1.0, ROUND(len(list_filter(toks, x -> regexp_full_match(x, '[^A-Za-z0-9]')))::DOUBLE / len(toks), 6) * 5.0)) * 0.2, 6) AS quality_score
-FROM t
+  ROUND(LEAST(1.0, len(ws0) / 50.0) * 0.5
+      + LEAST(1.0, {_EN_HITS.replace('ws,', 'ws0,')} / 5.0) * 0.3
+      + (1.0 - LEAST(1.0, ROUND(len(list_filter(toks, x -> regexp_full_match(x, '[^A-Za-z0-9]')))::DOUBLE / len(toks), 6) * 5.0)) * 0.2, 6) AS quality_score,
+  n_words, mean_word_len, alpha_word_frac, symbol_word_ratio,
+  bullet_line_frac, ellipsis_line_frac, dup_line_frac, gopher_stop_hits,
+  n_sentences, has_brace, has_lorem, terminal_line_frac,
+  {_GOPHER_PASS} AS gopher_pass,
+  (n_sentences >= 3 AND NOT has_brace AND NOT has_lorem) AS c4_pass
+FROM m
 """,
 )
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vt_grid_spark.operators.textops import with_quality
+    """Length/punct/stopword heuristics + the Gopher/C4 rule set
+    (Rae et al. 2021 A1.1; Raffel et al. 2020 2.2) as pure column
+    expressions — the quality gate a real training-data pipeline runs."""
+    from vt_grid_spark.operators.textops import with_gopher_quality, with_quality
 
-    out = with_quality(_docs(spark, sf_dir))
-    return out.select("doc_id", "n_chars_q", "n_tokens", "n_ws_tokens",
-                      "stop_hits", "punct_ratio", "quality_score")
+    out = with_gopher_quality(with_quality(_docs(spark, sf_dir)))
+    return out.select(
+        "doc_id", "n_chars_q", "n_tokens", "n_ws_tokens", "stop_hits",
+        "punct_ratio", "quality_score", "n_words", "mean_word_len",
+        "alpha_word_frac", "symbol_word_ratio", "bullet_line_frac",
+        "ellipsis_line_frac", "dup_line_frac", "gopher_stop_hits",
+        "n_sentences", "has_brace", "has_lorem", "terminal_line_frac",
+        "gopher_pass", "c4_pass")
+
+
+_LANG_HITS_SQL = ",\n    ".join(
+    f"CAST(len(list_filter(ws, x -> list_contains({_sw_sql(lang)}, x))) AS BIGINT)"
+    f" AS hits_{lang}"
+    for lang in STOPWORDS
+)
+_LANGS = list(STOPWORDS)
+_LANG_CASE = "CASE " + " ".join(
+    "WHEN hits_{l} > 0 AND {ge} THEN '{l}'".format(
+        l=lang,
+        ge=" AND ".join([f"hits_{lang} >= hits_{o}"
+                         for o in _LANGS[_LANGS.index(lang) + 1:]] or ["TRUE"]))
+    for lang in _LANGS
+) + " ELSE 'unknown' END"
 
 
 @register(
     "lang_id",
-    r"""
-WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents),
+    rf"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(trim(text), '\s+'),
+                                    x -> lower(x)), x -> x <> '') AS ws
+  FROM documents
+),
 h AS (
   SELECT doc_id,
-    CAST(len(list_filter(ws, x -> list_contains(['the','a','and','of','to','in','is','it'], x))) AS BIGINT) AS hits_en,
-    CAST(len(list_filter(ws, x -> list_contains(['der','die','das','und','ist','ein','zu','mit'], x))) AS BIGINT) AS hits_de,
-    CAST(len(list_filter(ws, x -> list_contains(['le','la','les','et','est','un','une','dans'], x))) AS BIGINT) AS hits_fr
+    {_LANG_HITS_SQL}
   FROM t
 )
-SELECT doc_id, hits_en, hits_de, hits_fr,
-  CASE WHEN hits_en >= hits_de AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
-       WHEN hits_de >= hits_fr AND hits_de > 0 THEN 'de'
-       WHEN hits_fr > 0 THEN 'fr'
-       ELSE 'unknown' END AS lang_pred
+SELECT doc_id, {", ".join(f"hits_{lang}" for lang in _LANGS)},
+  {_LANG_CASE} AS lang_pred
 FROM h
 """,
 )
 def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """20-stopword x 5-language hit-count argmax (lowercased tokens),
+    fixed priority tie-break — toy-free enough to be a real prefilter,
+    still bit-identical across engines."""
     from vt_grid_spark.operators.textops import with_lang_id
 
     out = with_lang_id(_docs(spark, sf_dir))
-    return out.select("doc_id", "hits_en", "hits_de", "hits_fr", "lang_pred")
+    return out.select("doc_id", *[f"hits_{lang}" for lang in STOPWORDS],
+                      "lang_pred")
 
 
 _WIN_POWS = [pow(257, 4 - j, 2_147_483_647) for j in range(5)]

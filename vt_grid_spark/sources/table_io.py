@@ -2,14 +2,21 @@
 
 "Iceberg" as an interface (SURVEY.md §7 g6): this class IS the seam — the
 pyramid driver only calls ``write_level`` / ``read_level`` /
-``level_complete`` / ``read_manifest``.  The backend shipped here is
-parquet partitioned by ``zoom=<z>`` plus a JSON manifest per level
-carrying what the north rule asks for: input lineage, per-partition row
-counts, and status — so a killed pyramid build resumes from the last
-complete zoom.  A catalog-backed variant (``df.writeTo(table)`` /
-``spark.table`` + snapshot-id lineage) would subclass and override those
-four methods; it is NOT shipped because no Iceberg runtime jar exists in
-this environment to test it against.
+``level_complete`` / ``read_manifest`` (+ the pandas fast-path pair for
+tiny upper levels).  The default backend is parquet partitioned by
+``zoom=<z>`` plus a JSON manifest per level carrying what the north rule
+asks for: input lineage, per-partition row counts, and status — so a
+killed pyramid build resumes from the last complete zoom.
+
+``CatalogTableIO`` below is the catalog-backed variant: levels are
+catalog tables written through the DataFrameWriterV2 and manifests an
+append-only journal table (latest row per zoom wins — no deletes needed,
+the Iceberg-style commit log shape).  Point it at an Iceberg catalog
+(``spark.sql.catalog.<name>`` + the runtime jar, format="iceberg") for
+snapshot lineage; against the plain session catalog it degrades to
+managed parquet tables with the same contract.  The contract test
+(tests/test_pyramid.py) runs it against whatever catalog the session has
+and skips cleanly if V2 writes are unsupported.
 """
 
 from __future__ import annotations
@@ -105,8 +112,8 @@ class TableIO:
         return pdf
 
     def write_level_pandas(self, pdf, zoom: int, lineage: dict | None = None) -> dict:
-        import pyarrow.parquet as pq
         import pyarrow as pa
+        import pyarrow.parquet as pq
 
         path = self.level_path(zoom)
         if os.path.exists(path):  # overwrite semantics, same as the Spark path
@@ -130,3 +137,116 @@ class TableIO:
             json.dump(manifest, f, indent=1, sort_keys=True)
         os.replace(tmp, self.manifest_path(zoom))
         return manifest
+
+
+class CatalogTableIO(TableIO):
+    """Catalog-backed TableIO: levels as catalog tables, manifests as an
+    append-only journal table (latest row per zoom wins).
+
+    Same four-method contract as the parquet backend; write-then-commit is
+    preserved because the manifest row is appended only AFTER the level
+    table is fully (re)created.  With ``format="iceberg"`` on a configured
+    Iceberg catalog the level write is a snapshot commit and the journal
+    rides the same table format; with the default session catalog it
+    degrades to managed parquet tables.  The pandas fast-path pair routes
+    through Spark (a catalog has no local files to short-circuit to).
+    """
+
+    def __init__(self, spark: SparkSession, namespace: str = "vt_grid",
+                 prefix: str = "pyramid", format: str = "parquet"):
+        # deliberately NOT calling super().__init__ — no filesystem root
+        self.spark = spark
+        self.namespace = namespace
+        self.prefix = prefix
+        self.format = format
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {namespace}")
+        self._manifest_tbl = f"{namespace}.{prefix}_manifest"
+        if not spark.catalog.tableExists(self._manifest_tbl):
+            spark.createDataFrame(
+                [], "zoom int, status string, row_count long, manifest string,"
+                    " completed_at double"
+            ).writeTo(self._manifest_tbl).using(format).create()
+
+    # -- naming ----------------------------------------------------------------
+    def level_table(self, zoom: int) -> str:
+        return f"{self.namespace}.{self.prefix}_z{zoom}"
+
+    # -- manifest journal --------------------------------------------------------
+    def _append_manifest(self, manifest: dict) -> dict:
+        row = self.spark.createDataFrame(
+            [(int(manifest["zoom"]), manifest["status"],
+              int(manifest["row_count"]), json.dumps(manifest, sort_keys=True),
+              float(manifest["completed_at"]))],
+            "zoom int, status string, row_count long, manifest string,"
+            " completed_at double",
+        )
+        try:
+            row.writeTo(self._manifest_tbl).append()
+        except Exception:
+            # session catalog exposes CTAS-created tables as v1 — the V2
+            # append is rejected; the v1 writer appends to the same table
+            row.write.mode("append").saveAsTable(self._manifest_tbl)
+        return manifest
+
+    def _latest_manifest(self, zoom: int) -> dict | None:
+        rows = (self.spark.table(self._manifest_tbl)
+                .where(F.col("zoom") == zoom)
+                .orderBy(F.col("completed_at").desc())
+                .limit(1).collect())
+        return json.loads(rows[0].manifest) if rows else None
+
+    # -- the four-method contract -------------------------------------------------
+    def write_level(self, df: DataFrame, zoom: int, lineage: dict | None = None,
+                    partition_cols: int | None = None) -> dict:
+        out = df.drop("zoom") if "zoom" in df.columns else df
+        name = self.level_table(zoom)
+        try:
+            out.writeTo(name).using(self.format).createOrReplace()
+        except Exception:
+            # the plain V2 session catalog cannot do atomic REPLACE TABLE;
+            # degrade to drop+create (non-atomic — an Iceberg catalog does
+            # this as one snapshot commit, which is the point of the seam)
+            self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+            out.writeTo(name).using(self.format).create()
+        n = self.spark.table(name).count()
+        manifest = {
+            "zoom": zoom,
+            "status": "complete",
+            "row_count": int(n),
+            "table": name,
+            "lineage": lineage or {},
+            "completed_at": time.time(),
+        }
+        return self._append_manifest(manifest)
+
+    def amend_manifest(self, zoom: int, **extra) -> dict:
+        m = self.read_manifest(zoom)
+        m.update(extra)
+        m["completed_at"] = time.time()
+        return self._append_manifest(m)
+
+    def level_complete(self, zoom: int) -> bool:
+        if not self.spark.catalog.tableExists(self.level_table(zoom)):
+            return False
+        m = self._latest_manifest(zoom)
+        return bool(m) and m.get("status") == "complete"
+
+    def read_level(self, spark: SparkSession, zoom: int) -> DataFrame:
+        return spark.table(self.level_table(zoom)).withColumn("zoom", F.lit(zoom))
+
+    def read_manifest(self, zoom: int) -> dict:
+        m = self._latest_manifest(zoom)
+        if m is None:
+            raise FileNotFoundError(f"no manifest for zoom {zoom}")
+        return m
+
+    # -- pandas fast path: no local files behind a catalog — go through Spark ----
+    def read_level_pandas(self, zoom: int):
+        pdf = self.spark.table(self.level_table(zoom)).toPandas()
+        pdf.insert(0, "zoom", zoom)
+        return pdf
+
+    def write_level_pandas(self, pdf, zoom: int, lineage: dict | None = None) -> dict:
+        out = pdf.drop(columns=["zoom"]) if "zoom" in pdf.columns else pdf
+        return self.write_level(self.spark.createDataFrame(out), zoom,
+                                lineage=lineage)
