@@ -174,6 +174,42 @@ def test_distributed_decode(spark, tmp_path):
     assert abs(lon - float(tm.tile_to_lon(30 + 0 / 4096.0, z))) < 1e-9
 
 
+def test_cells_to_mvt_sink_roundtrip(spark, tmp_path):
+    """Write side: cells -> per-tile MVT blobs (applyInPandas) -> MBTiles
+    file -> re-ingest reconstructs ids, properties and integer-exact
+    geometry."""
+    cells = spark.createDataFrame(
+        [(40, 41, 7, 2.5), (41, 41, 3, 0.5), (44, 40, 1, 9.0)],
+        "x long, y long, cnt long, w double")
+    tiles = mvt.cells_to_mvt_tiles(cells, cell_z=10, k=2, layer="g",
+                                   props=["cnt", "w"])
+    rows = tiles.collect()
+    assert {(r.z, r.x, r.y) for r in rows} == {(8, 10, 10), (8, 11, 10)}
+
+    path = str(tmp_path / "sink.mbtiles")
+    n = mvt.write_mbtiles_df(tiles, path)
+    assert n == 2
+    feats = mvt.decode_tiles_df(mvt.read_mbtiles(spark, path)).collect()
+    assert len(feats) == 3
+    got = {}
+    for r in feats:
+        cx, cy = r.feature_id % 4, r.feature_id // 4
+        props = json.loads(r.props_json)
+        got[(r.x * 4 + cx, r.y * 4 + cy)] = (props["cnt"], props["w"])
+        g = json.loads(r.geometry_json)
+        assert g["type"] == "Polygon" and len(g["coordinates"][0]) == 5
+    assert got == {(40, 41): (7, 2.5), (41, 41): (3, 0.5), (44, 40): (1, 9.0)}
+    # geometry is integer-exact: the cell's sw corner quantizes back to
+    # exactly the cell
+    for r in feats:
+        ring = json.loads(r.geometry_json)["coordinates"][0]
+        lon, lat = ring[0]
+        cx, cy = r.feature_id % 4, r.feature_id // 4
+        fx, fy = tm.point_to_tile_fraction(lon, lat, 10)
+        assert round(float(fx), 6) == r.x * 4 + cx
+        assert round(float(fy), 6) == r.y * 4 + cy
+
+
 def test_decode_plan_is_narrow(spark, tmp_path):
     from tests.test_physical_plans import plan_str
 

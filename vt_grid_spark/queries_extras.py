@@ -468,6 +468,64 @@ def mbtiles_ingest_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S5/S6 (true output form): cells -> MVT tile blobs -> MBTiles -> re-ingest.
+# The engine's write side produces the reference's OUTPUT artifact (grid
+# tiles of square cell polygons carrying aggregates, lib/grid-geojson.js);
+# the oracle is the straight SQL aggregation — so the whole
+# encode -> protobuf -> SQLite -> gunzip -> decode loop must be lossless
+# on ids, properties, and (integer-exact) geometry to go green.
+# ---------------------------------------------------------------------------
+
+@register(
+    "mbtiles_sink_roundtrip",
+    f"""
+WITH pts AS ({_PAGES}),
+enc AS (
+  SELECT {sq.tile_x_sql('lon', 8)} AS x, {sq.tile_y_sql('lat', 8)} AS y,
+         length(text) AS chars
+  FROM pts
+)
+SELECT x, y, COUNT(*) AS cnt, CAST(SUM(chars) AS BIGINT) AS sum_chars
+FROM enc GROUP BY x, y
+""",
+)
+def mbtiles_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full sink+source loop: aggregate cells at z8, pack 4x4 cells per z6
+    tile (integer-exact squares + properties), assemble a real MBTiles,
+    then re-ingest and reconstruct cells from feature ids — must equal the
+    direct aggregation."""
+    import shutil
+    import tempfile
+
+    from vt_grid_spark.operators.encode import encode_points
+    from vt_grid_spark.sources import mvt
+
+    k = 2
+    pts = _pts(spark, sf_dir).withColumn("chars", F.length("text").cast("long"))
+    cells = (
+        encode_points(pts, 8, with_quadkey=False)
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("chars").alias("sum_chars"))
+    )
+    tiles = mvt.cells_to_mvt_tiles(cells, cell_z=8, k=k, layer="cells",
+                                   props=["cnt", "sum_chars"])
+    d = tempfile.mkdtemp(prefix="vtgrid_mbt_sink_")
+    try:
+        path = f"{d}/out.mbtiles"
+        mvt.write_mbtiles_df(tiles, path)
+        feats = mvt.decode_tiles_df(mvt.read_mbtiles(spark, path))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)  # blobs already in the plan
+    return feats.select(
+        (F.shiftleft("x", k) + F.pmod("feature_id", F.lit(1 << k))).alias("x"),
+        (F.shiftleft("y", k) + F.shiftright("feature_id", k)).alias("y"),
+        F.get_json_object("props_json", "$.cnt").cast("long").alias("cnt"),
+        F.get_json_object("props_json", "$.sum_chars").cast("long")
+        .alias("sum_chars"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # F6/A5 workload: per-cell clipped line length (the reference's roads
 # benchmark, bench/aggregations/osm-roads.js) — slab-method segment clip,
 # equirectangular cos(mid-lat) length; the oracle mirrors the exact
