@@ -193,3 +193,30 @@ def test_catalog_tableio_contract(spark):
             spark.sql(f"DROP TABLE IF EXISTS vtg_test.p1_z{z}")
         spark.sql("DROP TABLE IF EXISTS vtg_test.p1_manifest")
         spark.sql("DROP NAMESPACE IF EXISTS vtg_test")
+
+
+def test_merge_cells_three_way_with_partials(spark):
+    """tile-join merge: a 3-way split re-reduced equals the single-pass
+    aggregation, including reducers that carry partials (mean: cnt+sum;
+    areaWeightedMean: w+wv) and the holistic union."""
+    from vt_grid_spark.operators.encode import cell_aggregate, encode_points
+    from vt_grid_spark.operators.rollup import merge_cells
+    from vt_grid_spark.plans.aggspec import compile_aggs, finalize_columns
+
+    pts = _points(spark, 3000)
+    enc = encode_points(pts, 6, with_quadkey=False) \
+        .withColumn("_s", F.pmod(F.xxhash64("url"), F.lit(3)))
+    exprs = compile_aggs(SPECS)
+    parts = [cell_aggregate(enc.where(F.col("_s") == i), 6, exprs)
+             for i in range(3)]
+    merged = merge_cells(parts, 6, SPECS)
+    whole = cell_aggregate(enc, 6, exprs)
+
+    def norm(df):
+        df = df.withColumn("mean_v", finalize_columns(SPECS)["mean_v"])
+        return {(r.x, r.y): (r.cnt, round(r.sum_v, 6), round(r.mean_v, 6),
+                             r.min_v, r.max_v, tuple(r.langs))
+                for r in df.collect()}
+
+    a, b = norm(merged), norm(whole)
+    assert a == b and len(a) > 50

@@ -89,6 +89,32 @@ def rollup_level(cells: DataFrame, child_z: int, specs: list[AggSpec],
     return out.select("zoom", "x", "y", "quadkey", *keys, *agg_cols)
 
 
+def merge_cells(parts: list[DataFrame], zoom: int, specs: list[AggSpec],
+                extra_keys: list[str] | None = None) -> DataFrame:
+    """tile-join merge (S7; reference ``tile-join`` / includeBaseData,
+    /root/reference/index.js:144-171): combine N cell tables AT THE SAME
+    zoom into one, re-reducing aggregates cell-by-cell with the rollup
+    combiners (sum of sums, min of mins, union of unions, mean/AWM
+    partials carried).  One hash aggregation on integer (x, y) — a merge
+    is a rollup without the parent shift, so it inherits the same
+    map-side-partial skew immunity for algebraic reducers."""
+    keys = extra_keys or []
+    cols = ["x", "y", *keys, *_required_rollup_cols(specs)]
+    for p in parts:
+        missing = [c for c in cols if c not in p.columns]
+        if missing:
+            raise ValueError(f"merge input missing aggregate columns {missing}")
+    base = parts[0].select(*cols)
+    for p in parts[1:]:
+        base = base.unionByName(p.select(*cols))
+    grouped = base.groupBy("x", "y", *keys).agg(*compile_rollup_aggs(specs))
+    out = (grouped.withColumn("zoom", F.lit(zoom))
+           .withColumn("quadkey", vf.quadkey(F.col("x"), F.col("y"), zoom)))
+    agg_cols = [c for c in out.columns
+                if c not in {"zoom", "x", "y", "quadkey", *keys}]
+    return out.select("zoom", "x", "y", "quadkey", *keys, *agg_cols)
+
+
 def densify(cells: DataFrame, parent_z: int, cell_z: int) -> DataFrame:
     """Dense-cell view for fixture parity: materialize all 4^(cell_z-parent_z)
     progeny of each occupied parent tile, left-joining real values

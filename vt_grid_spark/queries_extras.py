@@ -405,6 +405,51 @@ def bbox_cover_build_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S7 (true form): tile-join merge — two independently-built cell tables at
+# the same zoom re-reduced into one (reference index.js:144-171,
+# tile-join --includeBaseData).  The oracle is the direct aggregation over
+# the undivided corpus, so the merge combiners (sum of sums, count of
+# counts, union of unions) must be exactly associative to go green.
+# ---------------------------------------------------------------------------
+
+@register(
+    "tile_join_merge_z7",
+    f"""
+WITH pts AS ({_PAGES}),
+enc AS (
+  SELECT {sq.tile_x_sql('lon', 7)} AS x, {sq.tile_y_sql('lat', 7)} AS y,
+         lang, length(text) AS chars
+  FROM pts
+)
+SELECT x, y, {sq.quadkey_sql('x', 'y', 7)} AS quadkey, COUNT(*) AS cnt,
+       CAST(SUM(chars) AS BIGINT) AS sum_chars,
+       string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
+FROM enc GROUP BY x, y
+""",
+)
+def tile_join_merge_z7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split the corpus by md5(url) parity, build each half's z7 cell
+    table independently, then merge_cells them — must equal the direct
+    single-pass aggregation."""
+    from vt_grid_spark.operators.encode import cell_aggregate, encode_points
+    from vt_grid_spark.operators.rollup import merge_cells
+    from vt_grid_spark.plans.aggspec import AggSpec, compile_aggs
+
+    pts = _pts(spark, sf_dir).withColumn("chars", F.length("text").cast("long"))
+    specs = [AggSpec(out="cnt", reducer="count"),
+             AggSpec(out="sum_chars", reducer="sum", field="chars"),
+             AggSpec(out="langs", reducer="union", field="lang")]
+    parity = F.pmod(
+        F.conv(F.substring(F.md5("url"), 1, 8), 16, 10).cast("long"), F.lit(2))
+    enc = encode_points(pts, 7, with_quadkey=False).withColumn("_par", parity)
+    halves = [cell_aggregate(enc.where(F.col("_par") == i), 7,
+                             compile_aggs(specs)) for i in (0, 1)]
+    merged = merge_cells(halves, 7, specs)
+    return merged.select("x", "y", "quadkey", "cnt", "sum_chars",
+                         F.array_join("langs", ",").alias("langs"))
+
+
+# ---------------------------------------------------------------------------
 # S3 (true form): MBTiles -> gunzip -> MVT protobuf decode -> features
 # (/root/reference/bench/read-tiles.js:24-45).  The oracle recomputes the
 # expected features from the same integer parameters, independent of the
