@@ -111,8 +111,16 @@ def main():
     c_low = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     c_high = int(sys.argv[3]) if len(sys.argv) > 3 else 8
     pb = probe()
-    low = run(c_low, n)
-    high = run(c_high, n)
+    # interleave the reps (L,H,L,H) so both sides sample the same noise
+    # environment — sequential low*2/high*2 lets a mid-measurement drift
+    # land entirely on one side and skew the RATIO (round-3 lesson: a
+    # drift during the high phase read as eff 0.528 on a "quiet" probe)
+    lows, highs = [], []
+    for _ in range(2):
+        lows.append(run(c_low, n, reps=1))
+        highs.append(run(c_high, n, reps=1))
+    low = min(lows, key=lambda r: r["wall"])
+    high = min(highs, key=lambda r: r["wall"])
     pa = probe()  # the box can degrade MID-measurement; bracket it
     eff = (low["wall"] / high["wall"]) / (c_high / c_low)
     result = {
