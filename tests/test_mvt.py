@@ -210,6 +210,50 @@ def test_cells_to_mvt_sink_roundtrip(spark, tmp_path):
         assert round(float(fy), 6) == r.y * 4 + cy
 
 
+def test_generic_feature_sink_roundtrip(spark):
+    """decode -> features_to_mvt_tiles -> decode is exact after the first
+    quantization (extent ints -> lon/lat -> extent ints is lossless), for
+    every geometry family including holes and multi-parts — the
+    MBTiles -> transform -> MBTiles pipeline shape."""
+    z, x, y = TILE
+    ext1 = [(10, 10), (500, 10), (500, 500), (10, 500), (10, 10)]
+    hole = [(100, 100), (100, 200), (200, 200), (200, 100), (100, 100)]
+    ext2 = [(1000, 1000), (2000, 1000), (2000, 2000), (1000, 2000), (1000, 1000)]
+    layers = {
+        "pts": [
+            {"geom_type": 1, "parts": [[(100, 200)]], "props": {"n": 1}, "id": 1},
+            {"geom_type": 1, "parts": [[(7, 8)], [(2000, 3000)]],
+             "props": {"m": True}, "id": 2},
+        ],
+        "lines": [
+            {"geom_type": 2, "parts": [[(0, 0), (50, 80), (90, 80)]],
+             "props": {"km": 1.5}, "id": 3},
+            {"geom_type": 2, "parts": [[(5, 5), (9, 9)], [(11, 11), (20, 5)]],
+             "props": {}, "id": 4},
+        ],
+        "polys": [
+            {"geom_type": 3, "parts": [ext1, hole, ext2], "props": {"a": -2},
+             "id": 5},
+        ],
+    }
+    tiles1 = spark.createDataFrame(
+        [(z, x, y, mvt.encode_tile(layers))], "z int, x long, y long, data binary")
+    feats1 = mvt.decode_tiles_df(tiles1)
+    tiles2 = mvt.features_to_mvt_tiles(feats1)
+    feats2 = mvt.decode_tiles_df(tiles2)
+
+    def key(rows):
+        return sorted((r.z, r.x, r.y, r.layer, r.feature_id, r.geom_type,
+                       r.geometry_json, r.props_json) for r in rows)
+
+    a, b = key(feats1.collect()), key(feats2.collect())
+    assert len(a) == 5
+    assert a == b
+    types = {r.feature_id: r.geom_type for r in feats2.collect()}
+    assert types == {1: "Point", 2: "MultiPoint", 3: "LineString",
+                     4: "MultiLineString", 5: "MultiPolygon"}
+
+
 def test_decode_plan_is_narrow(spark, tmp_path):
     from tests.test_physical_plans import plan_str
 

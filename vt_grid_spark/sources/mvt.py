@@ -409,6 +409,65 @@ def cells_to_mvt_tiles(cells, cell_z: int, k: int, layer: str = "cells",
             .applyInPandas(encode_group, "z int, x long, y long, data binary"))
 
 
+_GEOM_TYPE_IDS = {"Point": 1, "MultiPoint": 1, "LineString": 2,
+                  "MultiLineString": 2, "Polygon": 3, "MultiPolygon": 3}
+
+
+def features_to_mvt_tiles(feats_df, extent: int = 4096):
+    """FEATURES_SCHEMA rows (the shape ``decode_tiles_df`` emits) back into
+    (z, x, y, data) tile blobs — the generic write side, so a user can run
+    the reference's real pipeline MBTiles -> transform/filter -> MBTiles
+    entirely in DataFrames.  Geometry quantizes lon/lat to the extent grid
+    (the lossy step every MVT writer performs); GeoJSON vertex order is
+    preserved, so RFC-7946 CCW exteriors land as positive-area rings in
+    y-down tile space and classify back correctly on re-decode.  Grouped
+    per tile, encoded independently (applyInPandas, one shuffle)."""
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F401  (groupBy cols below)
+
+    def q(lons, lats, x, y, z):
+        px, py = lonlat_to_extent(np.asarray(lons, dtype=np.float64),
+                                  np.asarray(lats, dtype=np.float64),
+                                  int(x), int(y), int(z), extent)
+        return list(zip(px.tolist(), py.tolist()))
+
+    def to_parts(geom: dict, x, y, z):
+        t, c = geom["type"], geom["coordinates"]
+        if t == "Point":
+            c = [c]
+        if t in ("Point", "MultiPoint"):
+            pts = q([p[0] for p in c], [p[1] for p in c], x, y, z)
+            return [[p] for p in pts]
+        if t == "LineString":
+            c = [c]
+        if t in ("LineString", "MultiLineString"):
+            return [q([p[0] for p in part], [p[1] for p in part], x, y, z)
+                    for part in c]
+        if t == "Polygon":
+            c = [c]
+        # MultiPolygon: flatten ring lists in order (exterior, holes, ...)
+        return [q([p[0] for p in ring], [p[1] for p in ring], x, y, z)
+                for poly in c for ring in poly]
+
+    def encode_group(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        z, x, y = int(key[0]), int(key[1]), int(key[2])
+        layers: dict[str, list] = {}
+        pdf = pdf.sort_values(["layer", "feature_id"])
+        for row in pdf.itertuples(index=False):
+            geom = json.loads(row.geometry_json)
+            layers.setdefault(row.layer, []).append({
+                "geom_type": _GEOM_TYPE_IDS[geom["type"]],
+                "parts": to_parts(geom, x, y, z),
+                "props": json.loads(row.props_json),
+                "id": None if row.feature_id < 0 else int(row.feature_id),
+            })
+        blob = encode_tile(layers)
+        return pd.DataFrame({"z": [z], "x": [x], "y": [y], "data": [blob]})
+
+    return feats_df.groupBy("z", "x", "y").applyInPandas(
+        encode_group, "z int, x long, y long, data binary")
+
+
 # --- MBTiles (SQLite) ----------------------------------------------------------
 
 
