@@ -220,3 +220,44 @@ def test_merge_cells_three_way_with_partials(spark):
 
     a, b = norm(merged), norm(whole)
     assert a == b and len(a) > 50
+
+
+def test_kmv_sketch_merge_exact_and_estimate_sane(spark):
+    """KMV property tests: (1) sketches merged up two pyramid levels are
+    IDENTICAL to sketches built directly at the coarse level (exact
+    mergeability); (2) the estimator lands within ~3 standard errors
+    (rse = 1/sqrt(k-1)) of the true distinct count when it saturates."""
+    from vt_grid_spark.operators.encode import cell_aggregate, encode_points
+    from vt_grid_spark.operators.rollup import rollup_level
+    from vt_grid_spark.plans.aggspec import AggSpec, compile_aggs, finalize_columns
+
+    k = 64
+    spec = AggSpec(out="sk", reducer="kmvDistinct", field="_v", k=k)
+    # 2000 points, 700 distinct values, clustered coords from the corpus
+    pts = (pages.with_coords(pages.pages_df(spark, 2000))
+           .withColumn("_v", F.concat(F.lit("v"), F.pmod(F.xxhash64("url"),
+                                                         F.lit(700)))))
+    enc = encode_points(pts, 8, with_quadkey=False)
+    fine = cell_aggregate(enc, 8, compile_aggs([spec]))
+    merged = rollup_level(rollup_level(fine, 8, [spec]), 7, [spec])
+    direct = cell_aggregate(
+        enc.withColumn("x", F.shiftright("x", 2))
+           .withColumn("y", F.shiftright("y", 2)), 6, compile_aggs([spec]))
+    a = {(r.x, r.y): tuple(r.sk) for r in merged.collect()}
+    b = {(r.x, r.y): tuple(r.sk) for r in direct.collect()}
+    assert a == b and len(a) > 3  # merge is EXACT, not approximately equal
+
+    est = finalize_columns([spec])["sk_est"]
+    got = {(r.x, r.y): r.e for r in merged.select("x", "y", est.alias("e")).collect()}
+    truth = {(r.x, r.y): r.t for r in
+             enc.withColumn("x", F.shiftright("x", 2))
+                .withColumn("y", F.shiftright("y", 2))
+                .groupBy("x", "y").agg(F.countDistinct("_v").alias("t")).collect()}
+    saturated = 0
+    for cell, t in truth.items():
+        if t < k:
+            assert got[cell] == t  # below k the sketch is exact
+        else:
+            saturated += 1
+            assert abs(got[cell] - t) / t < 3.0 / (k - 1) ** 0.5
+    assert saturated >= 1  # the hot cluster must exercise the estimator

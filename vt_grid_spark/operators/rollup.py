@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from vt_grid_spark import functions as vf
 from vt_grid_spark.plans.aggspec import AggSpec, compile_rollup_aggs
 
-HOLISTIC = {"union"}
+HOLISTIC = {"union", "kmvDistinct"}
 
 
 def _has_holistic(specs: list[AggSpec]) -> bool:

@@ -35,7 +35,12 @@ from pyspark.sql import functions as F
 VALID_REDUCERS = {
     "count", "sum", "min", "max", "mean",
     "areaWeightedMean", "areaWeightedSum", "totalArea", "union",
+    "kmvDistinct",
 }
+
+# KMV hash domain: 60 uniform bits from md5 (same derivation the dedup
+# and simhash operators use, so DuckDB mirrors it exactly)
+KMV_DOMAIN = 1 << 60
 
 
 @dataclass
@@ -47,12 +52,22 @@ class AggSpec:
     field     — input column (ignored for count/totalArea)
     weight    — weight column for area-weighted reducers (defaults to the
                 cell's spherical area at the base level; 1.0 for points)
+    k         — sketch size for kmvDistinct (k smallest hashes kept)
+
+    ``kmvDistinct`` is the engine's mergeable distinct-count sketch
+    (k-minimum-values, Bar-Yossef et al. 2002): the cell value is the k
+    smallest distinct 60-bit md5 hashes of the field, so the rollup merge
+    (k smallest of the children's unions) is EXACT — kmv(A ∪ B) ==
+    merge(kmv(A), kmv(B)) — and the whole pyramid of sketches is
+    deterministic and DuckDB-oracle-checkable, unlike HLL registers.
+    Estimate: exact size below k, else (k-1) * DOMAIN / kth_smallest.
     """
 
     out: str
     reducer: str
     field: str | None = None
     weight: str | None = None
+    k: int = 64
 
     def __post_init__(self):
         if self.reducer not in VALID_REDUCERS:
@@ -129,6 +144,11 @@ def compile_aggs(specs: list[AggSpec]) -> list[Column]:
             out.append(F.sum(_w(s)).alias(s.out))
         elif s.reducer == "union":
             out.append(F.array_sort(F.collect_set(s.field)).alias(s.out))
+        elif s.reducer == "kmvDistinct":
+            h = F.expr(f"cast(conv(substring(md5(cast({s.field} as string)),"
+                       f" 1, 15), 16, 10) as bigint)")
+            out.append(F.slice(F.array_sort(F.collect_set(h)), 1, s.k)
+                       .alias(s.out))
     return out
 
 
@@ -158,6 +178,12 @@ def compile_rollup_aggs(specs: list[AggSpec]) -> list[Column]:
             out.append(
                 F.array_sort(F.array_distinct(F.flatten(F.collect_list(s.out)))).alias(s.out)
             )
+        elif s.reducer == "kmvDistinct":
+            # k smallest of the union of children's k-smallest — exact
+            out.append(
+                F.slice(F.array_sort(F.array_distinct(
+                    F.flatten(F.collect_list(s.out)))), 1, s.k).alias(s.out)
+            )
     return out
 
 
@@ -170,4 +196,10 @@ def finalize_columns(specs: list[AggSpec]) -> dict[str, Column]:
             out[s.out] = F.col(f"{s.out}__sum") / F.col(f"{s.out}__cnt")
         elif s.reducer == "areaWeightedMean":
             out[s.out] = F.col(f"{s.out}__wv") / F.col(f"{s.out}__w")
+        elif s.reducer == "kmvDistinct":
+            kth = F.element_at(F.col(s.out), s.k)
+            out[f"{s.out}_est"] = F.when(
+                F.size(s.out) < s.k, F.size(s.out).cast("double")
+            ).otherwise(
+                F.round(F.lit(float(s.k - 1)) * F.lit(float(KMV_DOMAIN)) / kth, 4))
     return out

@@ -450,6 +450,65 @@ def tile_join_merge_z7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# kmvDistinct: the engine's mergeable distinct-count sketch (k-minimum-
+# values).  The Spark side builds sketches at z7 and rolls them up TWO
+# levels through the real pyramid path; the oracle computes the z5 sketch
+# directly — a hash match proves the merge is exact (kmv(A ∪ B) ==
+# merge(kmv(A), kmv(B))), which register-based sketches (HLL) can't offer
+# cross-engine.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 32
+
+
+@register(
+    "kmv_distinct_z5",
+    f"""
+WITH pts AS ({_PAGES}),
+enc AS (
+  SELECT {sq.tile_x_sql('lon', 5)} AS x, {sq.tile_y_sql('lat', 5)} AS y,
+         ('0x' || substr(md5(string_split(url, '/')[3]), 1, 15))::BIGINT AS h
+  FROM pts
+),
+g AS (
+  SELECT x, y, (list_sort(list_distinct(list(h))))[1:{_KMV_K}] AS sk
+  FROM enc GROUP BY x, y
+)
+SELECT x, y,
+  array_to_string(sk, ',') AS dom_sketch,
+  CAST(len(sk) AS BIGINT) AS n_sketch,
+  CASE WHEN len(sk) < {_KMV_K} THEN len(sk)::DOUBLE
+       ELSE ROUND({_KMV_K - 1} * {float(1 << 60)!r} / sk[{_KMV_K}], 4)
+  END AS dom_est
+FROM g
+""",
+)
+def kmv_distinct_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct web domains per cell via KMV sketches: built at z7,
+    merged up two pyramid levels, estimated — must hash-match the direct
+    z5 sketch."""
+    from vt_grid_spark.operators.encode import cell_aggregate, encode_points
+    from vt_grid_spark.operators.rollup import rollup_level
+    from vt_grid_spark.plans.aggspec import AggSpec, compile_aggs, finalize_columns
+
+    spec = AggSpec(out="dom_sketch", reducer="kmvDistinct", field="_dom",
+                   k=_KMV_K)
+    pts = _pts(spark, sf_dir).withColumn(
+        "_dom", F.split(F.col("url"), "/").getItem(2))
+    cells = cell_aggregate(encode_points(pts, 7, with_quadkey=False), 7,
+                           compile_aggs([spec]))
+    for child_z in (7, 6):
+        cells = rollup_level(cells, child_z, [spec])
+    est = finalize_columns([spec])["dom_sketch_est"]
+    return cells.select(
+        "x", "y",
+        F.array_join(F.col("dom_sketch").cast("array<string>"), ",")
+        .alias("dom_sketch"),
+        F.size("dom_sketch").cast("long").alias("n_sketch"),
+        est.alias("dom_est"))
+
+
+# ---------------------------------------------------------------------------
 # S3 (true form): MBTiles -> gunzip -> MVT protobuf decode -> features
 # (/root/reference/bench/read-tiles.js:24-45).  The oracle recomputes the
 # expected features from the same integer parameters, independent of the
