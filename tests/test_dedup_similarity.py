@@ -102,6 +102,33 @@ def test_ann_lsh_recall(spark):
     assert len(set(exact) & set(approx)) >= 5
 
 
+def test_ivf_topk_recall_and_partition(spark):
+    """IVF-flat: the deterministic pivot assignment partitions the corpus
+    (every row lands in exactly one of n_cells), the query's own vector
+    is always found (same assignment function on both sides), and 4-of-16
+    probes keep useful recall@10 vs brute force."""
+    from vt_grid_spark.operators.similarity import (cosine_topk, ivf_assign,
+                                                    ivf_topk)
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    assigned = ivf_assign(emb, dim=64, n_cells=16)
+    counts = {r.ivf_cell: r.n for r in
+              assigned.groupBy("ivf_cell").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == emb.count()  # total partition, no drops
+    assert len(counts) >= 8  # pivots genuinely spread the corpus
+
+    qv = [float(v) for v in emb.where(F.col("vec_id") == 0).collect()[0].embedding]
+    exact = [r.vec_id for r in cosine_topk(emb, qv, 10).collect()]
+    approx = [r.vec_id for r in
+              ivf_topk(emb, qv, 10, dim=64, n_cells=16, n_probe=4).collect()]
+    assert exact[0] == 0 and approx[0] == 0  # self always in its own cell
+    assert len(set(exact) & set(approx)) >= 4
+    # probing ALL cells degenerates to exact brute force
+    full = [r.vec_id for r in
+            ivf_topk(emb, qv, 10, dim=64, n_cells=16, n_probe=16).collect()]
+    assert full == exact
+
+
 def test_ann_pairs_recall_vs_bruteforce(spark):
     """Batch ANN pair join: exact refine means zero false positives; the
     4-table x 8-plane bucketing must recall nearly all cos>=0.9 pairs

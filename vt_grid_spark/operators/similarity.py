@@ -139,6 +139,61 @@ def ann_cosine_pairs(df: DataFrame, dim: int, threshold: float,
     )
 
 
+def ivf_pivots(n_cells: int, dim: int) -> list[list[float]]:
+    """Deterministic IVF coarse centroids: the same md5-derived
+    pseudo-random unit-ish vectors as the LSH hyperplanes, offset into
+    their own plane-id space so the two structures never share vectors.
+    Deterministic pivots keep the whole index DuckDB-oracle-checkable
+    (a trained k-means would add recall per probe but lose cross-engine
+    reproducibility; the seam is this function)."""
+    return [_hyperplane(10_000 + c, dim) for c in range(n_cells)]
+
+
+def ivf_assign(df: DataFrame, dim: int, n_cells: int = 16,
+               vec_col: str = "embedding") -> DataFrame:
+    """Adds ``ivf_cell`` — argmax over pivot cosines (ties to the lower
+    pivot id).  One codegen projection of n_cells fused dot products; at
+    10^12 rows this is the scan-side partitioner that turns ANN into a
+    probe of n_probe/n_cells of the corpus."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    vn = _norm(v)
+    entries = []
+    for c, piv in enumerate(ivf_pivots(n_cells, dim)):
+        pn = math.sqrt(sum(x * x for x in piv))
+        # 9dp rounding before the argmax so a 1-ulp cross-engine summation
+        # difference can never flip a near-tie (ties break on pivot id).
+        # argmax as array_min over (-cos, c) structs: each pivot's dot
+        # product appears ONCE in the expression tree — a chained
+        # when/otherwise would double the tree per pivot (2^n blowup).
+        cos = F.round(
+            _dot(v, F.array(*[F.lit(x) for x in piv])) / (vn * F.lit(pn)), 9)
+        entries.append(F.struct((-cos).alias("negcos"),
+                                F.lit(c).alias("c")))
+    best = F.array_min(F.array(*entries))
+    return df.withColumn("ivf_cell", best["c"].cast("int"))
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int, dim: int,
+             n_cells: int = 16, n_probe: int = 4,
+             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF-flat top-k: score only rows whose ``ivf_cell`` is among the
+    ``n_probe`` pivot cells nearest the query (exact cosine within the
+    probed cells).  The probe set is a pure function of (query, pivots),
+    so the operator is deterministic end-to-end; recall vs brute force is
+    tested in pytest and the whole thing is oracle-checked."""
+    qn = math.sqrt(sum(float(x) * float(x) for x in query_vec))
+    scored = []
+    for c, piv in enumerate(ivf_pivots(n_cells, dim)):
+        pn = math.sqrt(sum(x * x for x in piv))
+        dot = sum(a * float(b) for a, b in zip(piv, query_vec))
+        scored.append((round(dot / (pn * qn), 9), c))
+    # ties to the lower pivot id, mirroring both ivf_assign and the oracle
+    probes = [c for _, c in sorted(scored, key=lambda t: (-t[0], t[1]))[:n_probe]]
+    cand = ivf_assign(df, dim, n_cells, vec_col) \
+        .where(F.col("ivf_cell").isin(probes))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def ann_cosine_topk(df: DataFrame, query_vec: list[float], k: int, dim: int,
                     n_planes: int = 8, probe_hamming: int = 1,
                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:

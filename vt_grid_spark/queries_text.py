@@ -530,6 +530,59 @@ SELECT rank, vec_id, cos FROM (
 """
 
 
+def _ivf_topk_oracle_sql(n_cells: int = 16, n_probe: int = 4) -> str:
+    """IVF-flat oracle: the pivots are deterministic literals, so DuckDB
+    reproduces the identical per-row cell assignment (argmax of 9dp-rounded
+    pivot cosines, ties to the lower id), the identical probe set, and the
+    exact top-k within the probed cells."""
+    from vt_grid_spark.operators.similarity import ivf_pivots
+
+    pivots = " UNION ALL ".join(
+        f"SELECT {c} AS c, [{', '.join(repr(x) for x in piv)}]::DOUBLE[] AS pv"
+        for c, piv in enumerate(ivf_pivots(n_cells, _ANN_DIM)))
+    pcos = ("ROUND(list_dot_product({v}, pv) / (sqrt(list_dot_product({v}, {v}))"
+            " * sqrt(list_dot_product(pv, pv))), 9)")
+    return f"""
+WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+pivots AS ({pivots}),
+probes AS (
+  SELECT c FROM pivots, q
+  ORDER BY {pcos.format(v='qv')} DESC, c ASC LIMIT {n_probe}
+),
+assign AS (
+  SELECT vec_id, embedding::DOUBLE[] AS ve,
+         (SELECT c FROM pivots p
+          ORDER BY {pcos.format(v='embedding::DOUBLE[]')} DESC, c ASC
+          LIMIT 1) AS cell
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id,
+         ROUND(list_dot_product(ve, qv)
+               / (sqrt(list_dot_product(ve, ve))
+                  * sqrt(list_dot_product(qv, qv))), 6) AS cos
+  FROM assign, q WHERE cell IN (SELECT c FROM probes)
+)
+SELECT rank, vec_id, cos FROM (
+  SELECT vec_id, cos,
+         CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
+  FROM s
+) WHERE rank <= 20
+"""
+
+
+@register("ivf_topk", _ivf_topk_oracle_sql())
+def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-flat ANN: deterministic coarse pivots partition the corpus;
+    only the n_probe nearest cells are scored (the named 'IVF variant'
+    scale path alongside the LSH one)."""
+    from vt_grid_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = [float(v) for v in emb.where(F.col("vec_id") == 0).collect()[0].embedding]
+    return ivf_topk(emb, qv, 20, dim=len(qv), n_cells=16, n_probe=4)
+
+
 @register("ann_lsh_topk", _lsh_topk_oracle_sql())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vt_grid_spark.operators.similarity import ann_cosine_topk
