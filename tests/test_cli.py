@@ -1,0 +1,70 @@
+"""CLI surface (python -m vt_grid_spark) — the reference bin/vt-grid
+migration path, driven end-to-end in-process."""
+
+import json
+import sqlite3
+
+from pyspark.sql import functions as F
+
+from vt_grid_spark.__main__ import build_parser, main
+from vt_grid_spark.sources import pages
+
+
+def test_cli_parquet_build_and_export(spark, tmp_path, monkeypatch):
+    src = str(tmp_path / "pts.parquet")
+    (pages.with_coords(pages.pages_df(spark, 1500))
+     .withColumn("chars", F.length("text").cast("double"))
+     .select("url", "lon", "lat", "chars").write.parquet(src))
+    out = str(tmp_path / "grid")
+
+    rc = main([src, "-o", out, "--basezoom", "7", "--minzoom", "5",
+               "--gridsize", "16", "--aggregations", "pages:count()",
+               "pages:sum(chars)", "--export-mbtiles", "2", "--quiet"])
+    assert rc == 0
+
+    # manifests + levels exist (cell zooms 8,7 for outputs 6,5 at 4x4 grid)
+    for z in (8, 7):
+        m = json.load(open(f"{out}/_manifest/z{z}.json"))
+        assert m["status"] == "complete" and m["row_count"] > 0
+        assert spark.read.parquet(f"{out}/zoom={z}").count() == m["row_count"]
+
+    # the exported mbtiles re-ingests to the same cell counts
+    con = sqlite3.connect(f"{out}/grid.mbtiles")
+    n_tiles = con.execute("SELECT COUNT(*) FROM tiles").fetchone()[0]
+    con.close()
+    assert n_tiles > 0
+    from vt_grid_spark.sources import mvt
+    feats = mvt.decode_tiles_df(mvt.read_mbtiles(spark, f"{out}/grid.mbtiles"))
+    got = feats.where(F.col("z") == 6).count()
+    assert got == json.load(open(f"{out}/_manifest/z8.json"))["row_count"]
+
+
+def test_cli_mbtiles_input_roundtrip(spark, tmp_path):
+    """mbtiles in -> pyramid out: point features with numeric props ride
+    the true decode path into the build."""
+    from vt_grid_spark.sources import mvt
+
+    z = 6
+    tiles = []
+    for i in range(4):
+        feats = [{"geom_type": 1, "parts": [[(500 * j + 100, 700)]],
+                  "props": {"v": float(j + 1)}, "id": j} for j in range(3)]
+        tiles.append((z, 30 + i, 25, mvt.encode_tile({"pages": feats})))
+    src = str(tmp_path / "in.mbtiles")
+    mvt.write_mbtiles(src, tiles)
+    out = str(tmp_path / "g2")
+
+    rc = main([src, "-o", out, "--minzoom", "4", "--gridsize", "4",
+               "--aggregations", "pages:count()", "pages:sum(v)", "--quiet"])
+    assert rc == 0
+    base = spark.read.parquet(f"{out}/zoom=6")  # basezoom 6 + log4(4)=1 -> 7? see below
+    # basezoom defaults to input maxzoom (6); base cell zoom = 6 (output 5 + 1)
+    total = base.agg(F.sum("count").alias("s")).collect()[0].s \
+        if "count" in base.columns else base.agg(F.sum("cnt")).collect()[0][0]
+    assert total == 12  # every decoded point reaches the grid
+
+
+def test_cli_rejects_js_modules(capsys):
+    rc = main(["in.parquet", "-o", "out", "--aggregations", "custom.js"])
+    assert rc == 2
+    assert "custom_reduce" in capsys.readouterr().err
