@@ -450,6 +450,48 @@ def tile_join_merge_z7(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# As-of join (operator Spark lacks natively; DuckDB's native ASOF JOIN is
+# the oracle): attribute each purchase to the same user's most recent
+# click at-or-before it — tagged-union window, ONE shuffle, no broadcast.
+# ---------------------------------------------------------------------------
+
+@register(
+    "purchase_attribution_asof",
+    """
+WITH clicks AS (
+  SELECT user_id, ts, MAX(event_id) AS click_event_id
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+),
+p AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts,
+       COALESCE(c.click_event_id, -1) AS click_event_id,
+       COALESCE(c.ts, TIMESTAMP '1970-01-01') AS click_ts,
+       CAST(COALESCE(epoch_us(p.ts) - epoch_us(c.ts), -1) AS BIGINT) AS gap_us
+FROM p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from vt_grid_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks = ev.where(F.col("event_type") == "click") \
+        .select("user_id", "ts", "event_id")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+        .select("event_id", "user_id", "ts")
+    out = asof_join(purchases, clicks, key="user_id",
+                    right_cols=["event_id"], prefix="click_")
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.coalesce("click_event_id", F.lit(-1)).alias("click_event_id"),
+        F.coalesce("click_ts", F.to_timestamp(F.lit("1970-01-01")))
+        .alias("click_ts"),
+        F.coalesce(F.unix_micros("ts") - F.unix_micros("click_ts"),
+                   F.lit(-1)).alias("gap_us"))
+
+
+# ---------------------------------------------------------------------------
 # kmvDistinct: the engine's mergeable distinct-count sketch (k-minimum-
 # values).  The Spark side builds sketches at z7 and rolls them up TWO
 # levels through the real pyramid path; the oracle computes the z5 sketch
