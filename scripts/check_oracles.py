@@ -20,13 +20,22 @@ TABLES = "region nation customer supplier part orders lineitem events documents 
 
 
 def norm(v):
+    """Type-tagged string form: every value sorts against every other
+    (nulls included), while cross-type drift (Spark long vs DuckDB double)
+    still mismatches instead of coinciding at the same text."""
+    if v is None:
+        return "\x00null"
+    if isinstance(v, bool):
+        return f"b{int(v)}"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "nan"
-        return f"{v:.10g}"
+        return "fnan" if math.isnan(v) else f"f{v:.10g}"
     if isinstance(v, list):
         return tuple(norm(x) for x in v)
-    return v
+    if isinstance(v, int):
+        return f"i{v}"
+    if isinstance(v, str):
+        return f"s{v}"
+    return f"o{v}"  # datetimes etc: identical objects -> identical text
 
 
 def main():
