@@ -374,39 +374,48 @@ def cells_to_mvt_tiles(cells, cell_z: int, k: int, layer: str = "cells",
     round-trips integer-exact), aggregate columns ride as feature
     properties, feature id = local (cy << k) + cx.
 
-    Distributed: one shuffle on the tile key, then applyInPandas encodes
-    each tile's protobuf independently — the write-side mirror of
-    ``decode_tiles_df``."""
+    Distributed: one shuffle on the tile key.  The per-tile protobuf is
+    built inside a SCALAR pandas UDF over a collect_list'ed struct array —
+    one Arrow batch per partition — because groupBy().applyInPandas pays
+    ~ms of per-GROUP pandas-frame overhead, which at one group per tile
+    dominated the whole sink (~4x the encode cost at bench scale)."""
     import pandas as pd
     from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
 
     if extent % (1 << k) != 0:
         raise ValueError(f"extent {extent} not divisible by 2^{k}")
     side = extent >> k
-    n = 1 << k
     prop_cols = props or []
 
-    def encode_group(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
-        tx, ty = int(key[0]), int(key[1])
-        pdf = pdf.sort_values(["y", "x"])  # deterministic blob bytes
-        feats = []
-        for row in pdf.itertuples(index=False):
-            cx, cy = int(row.x) - (tx << k), int(row.y) - (ty << k)
-            px, py = cx * side, cy * side
-            ring = [(px, py), (px + side, py), (px + side, py + side),
-                    (px, py + side), (px, py)]  # CW on screen = exterior
-            p = {c: getattr(row, c) for c in prop_cols}
-            p = {c: (v.item() if hasattr(v, "item") else v)
-                 for c, v in p.items()}
-            feats.append({"geom_type": 3, "parts": [ring], "props": p,
-                          "id": (cy << k) + cx})
-        blob = encode_tile({layer: feats})
-        return pd.DataFrame({"z": [cell_z - k], "x": [tx], "y": [ty],
-                             "data": [blob]})
+    packed = (cells.groupBy(F.shiftright("x", k).alias("_tx"),
+                            F.shiftright("y", k).alias("_ty"))
+              .agg(F.collect_list(F.struct(
+                  F.col("x"), F.col("y"),
+                  *[F.col(c) for c in prop_cols])).alias("_cells")))
 
-    return (cells.groupBy(F.shiftright("x", k).alias("_tx"),
-                          F.shiftright("y", k).alias("_ty"))
-            .applyInPandas(encode_group, "z int, x long, y long, data binary"))
+    def kernel(tx, ty, cl):  # scalar pandas UDF (series in, series out)
+        out = []
+        for txi, tyi, rows in zip(tx, ty, cl):
+            txi, tyi = int(txi), int(tyi)
+            feats = []
+            for r in sorted(rows, key=lambda r: (r["y"], r["x"])):
+                cx, cy = int(r["x"]) - (txi << k), int(r["y"]) - (tyi << k)
+                px, py = cx * side, cy * side
+                ring = [(px, py), (px + side, py), (px + side, py + side),
+                        (px, py + side), (px, py)]  # CW on screen = exterior
+                p = {c: (v.item() if hasattr(v, "item") else v)
+                     for c, v in ((c, r[c]) for c in prop_cols)}
+                feats.append({"geom_type": 3, "parts": [ring], "props": p,
+                              "id": (cy << k) + cx})
+            out.append(encode_tile({layer: feats}))
+        return pd.Series(out)
+
+    enc = pandas_udf(kernel, "binary")
+    return packed.select(
+        F.lit(cell_z - k).cast("int").alias("z"),
+        F.col("_tx").alias("x"), F.col("_ty").alias("y"),
+        enc("_tx", "_ty", "_cells").alias("data"))
 
 
 _GEOM_TYPE_IDS = {"Point": 1, "MultiPoint": 1, "LineString": 2,
@@ -499,21 +508,33 @@ def write_mbtiles_df(tiles_df, path: str, metadata: dict | None = None) -> int:
     tile-join step.  At web scale the engine's native output stays the
     zoom-partitioned parquet/Iceberg table; an MBTiles is the last-mile
     artifact.  Returns the tile count."""
-    rows = ((int(r.z), int(r.x), int(r.y), bytes(r.data))
-            for r in tiles_df.toLocalIterator())
+    rows = ((int(r.z), int(r.x), (1 << int(r.z)) - 1 - int(r.y),
+             sqlite3.Binary(bytes(r.data)))
+            for r in tiles_df.toLocalIterator(prefetchPartitions=True))
     n = 0
     if os.path.exists(path):
         os.remove(path)
     con = sqlite3.connect(path)
+    # fresh-file export: durability pragmas off (a crash just re-runs the
+    # export); batched executemany — per-row INSERT with WAL fsyncs was
+    # the dominant cost of the sink at bench scale (~3x)
+    con.execute("PRAGMA synchronous=OFF")
+    con.execute("PRAGMA journal_mode=MEMORY")
     con.execute("CREATE TABLE metadata (name text, value text)")
     con.execute("CREATE TABLE tiles (zoom_level integer, tile_column integer,"
                 " tile_row integer, tile_data blob)")
     for k, v in (metadata or {"name": "vt_grid_spark", "format": "pbf"}).items():
         con.execute("INSERT INTO metadata VALUES (?, ?)", (k, str(v)))
-    for z, x, y, blob in rows:
-        con.execute("INSERT INTO tiles VALUES (?, ?, ?, ?)",
-                    (z, x, (1 << z) - 1 - y, sqlite3.Binary(blob)))
-        n += 1
+    batch: list = []
+    for row in rows:
+        batch.append(row)
+        if len(batch) >= 1024:
+            con.executemany("INSERT INTO tiles VALUES (?, ?, ?, ?)", batch)
+            n += len(batch)
+            batch = []
+    if batch:
+        con.executemany("INSERT INTO tiles VALUES (?, ?, ?, ?)", batch)
+        n += len(batch)
     con.commit()
     con.close()
     return n
