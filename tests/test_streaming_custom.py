@@ -211,3 +211,39 @@ def test_stateful_sessionize_checkpoint_restart(spark, tmp_path):
             for r in sessionize_batch(events, gap_s=14400).collect()}
     assert len(want) > 50
     assert got == want
+
+
+def test_custom_reducer_strategies_agree(spark):
+    """batched (default) == per_cell on every cell, including cells that
+    span Arrow-batch boundaries (forced tiny batches)."""
+    import pandas as pd
+
+    from vt_grid_spark.operators.custom_reduce import apply_custom_reducer
+    from vt_grid_spark.operators.encode import encode_points
+    from vt_grid_spark.sources import pages
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "7")
+    try:
+        pts = pages.with_coords(pages.pages_df(spark, 3000)) \
+            .withColumn("v", F.length("url").cast("double"))
+        enc = encode_points(pts, 8, with_quadkey=False).select("x", "y", "v")
+
+        def fn(pdf: pd.DataFrame, tile) -> dict:
+            return {"med": float(pdf["v"].median()),
+                    "n": len(pdf), "t": ",".join(str(t) for t in tile)}
+
+        outs = {}
+        for strat in ("per_cell", "batched"):
+            rows = apply_custom_reducer(enc, 8, 4, fn, "med double, n long, t string",
+                                        strategy=strat).collect()
+            outs[strat] = {(r.x, r.y): (r.med, r.n, r.t) for r in rows}
+        assert outs["batched"] == outs["per_cell"]
+        assert len(outs["batched"]) > 100
+        # row conservation (with_coords drops coordinate-less pages)
+        assert sum(v[1] for v in outs["batched"].values()) == enc.count()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
