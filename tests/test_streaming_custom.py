@@ -247,3 +247,40 @@ def test_custom_reducer_strategies_agree(spark):
             spark.conf.unset("spark.sql.execution.arrow.maxRecordsPerBatch")
         else:
             spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+
+def test_streaming_dedup_equals_batch(spark, tmp_path):
+    """dropDuplicatesWithinWatermark dedup == batch first-arrival dedup
+    when replays arrive inside the horizon: originals in microbatch 1,
+    later-timestamped replays (new doc_ids, same text) in microbatch 2 —
+    every replay must be dropped, every original kept exactly once."""
+    import time
+
+    from vt_grid_spark.streaming.dedup import dedup_batch, dedup_stream
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .where(F.col("doc_id") < 200) \
+        .select("doc_id", "text",
+                F.timestamp_seconds(1700000000 + F.col("doc_id")).alias("ts"))
+    replays = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text",
+        (F.col("ts") + F.expr("INTERVAL 10 MINUTES")).alias("ts"))
+
+    src = str(tmp_path / "docs_stream")
+    docs.coalesce(1).write.parquet(src)
+    time.sleep(1.1)
+    replays.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (dedup_stream(stream, horizon="1 hour").writeStream
+         .outputMode("append").format("memory").queryName("dedup_out")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r.doc_id, r.fp) for r in spark.table("dedup_out").collect()}
+    want = {(r.doc_id, r.fp)
+            for r in dedup_batch(docs.unionByName(replays)).collect()}
+    assert len(want) == 200           # every original, no replay
+    assert all(d < 1_000_000 for d, _ in want)
+    assert got == want

@@ -444,6 +444,47 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("first_doc"))
 
 
+@register(
+    "dedup_first_arrival",
+    r"""
+WITH corpus AS (
+  SELECT doc_id, text,
+         to_timestamp(1700000000 + doc_id)::TIMESTAMP AS ts
+  FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id, text,
+         to_timestamp(1700000000 + doc_id + 600)::TIMESTAMP AS ts
+  FROM documents WHERE doc_id % 10 = 0
+),
+fp AS (
+  SELECT doc_id, ts,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+  FROM corpus
+)
+SELECT doc_id, ts, fp FROM (
+  SELECT doc_id, ts, fp,
+         row_number() OVER (PARTITION BY fp ORDER BY ts, doc_id) AS rn
+  FROM fp
+) WHERE rn = 1
+""",
+)
+def dedup_first_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the streaming dedup (streaming/dedup.py): earliest
+    (ts, doc_id) per fingerprint survives a replay-injected corpus — the
+    stream==batch equivalence is pinned in
+    tests/test_streaming_custom.py::test_streaming_dedup_equals_batch."""
+    from vt_grid_spark.streaming.dedup import dedup_batch
+
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "text",
+        F.timestamp_seconds(1_700_000_000 + F.col("doc_id")).alias("ts"))
+    replays = _docs(spark, sf_dir).where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text",
+        F.timestamp_seconds(1_700_000_000 + F.col("doc_id") + 600).alias("ts"))
+    out = dedup_batch(docs.unionByName(replays))
+    return out.select("doc_id", "ts", "fp")
+
+
 # ---------------------------------------------------------------------------
 # Embedding similarity: brute-force cosine top-k (oracle) + LSH ANN (rows-only)
 # ---------------------------------------------------------------------------
