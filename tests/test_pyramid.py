@@ -261,3 +261,52 @@ def test_kmv_sketch_merge_exact_and_estimate_sane(spark):
             saturated += 1
             assert abs(got[cell] - t) / t < 3.0 / (k - 1) ** 0.5
     assert saturated >= 1  # the hot cluster must exercise the estimator
+
+
+def test_incremental_update_equals_rebuild(spark, tmp_path):
+    """Delta ingest: build over batch A, incremental_update with batch B —
+    every level must EQUAL a clean build over A ∪ B (the mergeable-reducer
+    monoid property end-to-end, including the kmvDistinct sketch and the
+    driver-side small-level path)."""
+    from vt_grid_spark.operators.pyramid import incremental_update
+
+    specs = SPECS + [AggSpec(out="sk", reducer="kmvDistinct", field="lang", k=8)]
+    plan = PyramidPlan(bands=[ZoomBand(basezoom=8, minzoom=5, aggregations=specs)],
+                       gridsize=16)
+    pts = _points(spark, 3000).cache()
+    a = pts.where(F.pmod(F.xxhash64("url"), F.lit(4)) != 0)
+    b = pts.where(F.pmod(F.xxhash64("url"), F.lit(4)) == 0)
+    assert 0 < b.count() < pts.count()
+
+    io_inc = TableIO(str(tmp_path / "inc"))
+    build_pyramid(a, plan, io_inc, resume=False)
+    man = incremental_update(b, plan, io_inc)
+    io_full = TableIO(str(tmp_path / "full"))
+    man_full = build_pyramid(pts, plan, io_full, resume=False)
+
+    fin = finalize_columns(specs)
+    for z in man:
+        assert man[z]["status"] == "complete"
+        assert man[z]["lineage"]["op"] == "incremental-merge"
+
+        def norm(df):
+            df = df.withColumn("mean_v", fin["mean_v"])
+            return {(r.x, r.y): (r.cnt, round(r.sum_v, 6), round(r.mean_v, 6),
+                                 r.min_v, r.max_v, tuple(r.langs), tuple(r.sk))
+                    for r in df.collect()}
+
+        got, want = norm(io_inc.read_level(spark, z)), norm(io_full.read_level(spark, z))
+        assert got == want and len(got) > 0, f"zoom {z} diverged"
+        assert man[z]["row_count"] == man_full[z]["row_count"]
+    pts.unpersist()
+
+
+def test_incremental_update_requires_complete_pyramid(spark, tmp_path):
+    import pytest
+
+    from vt_grid_spark.operators.pyramid import incremental_update
+
+    plan = PyramidPlan(bands=[ZoomBand(basezoom=8, minzoom=7, aggregations=SPECS[:2])],
+                       gridsize=16)
+    with pytest.raises(ValueError, match="complete pyramid"):
+        incremental_update(_points(spark, 100), plan, TableIO(str(tmp_path / "x")))

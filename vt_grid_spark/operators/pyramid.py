@@ -20,7 +20,7 @@ from vt_grid_spark import tilemath as tm
 from vt_grid_spark.operators.encode import (cell_aggregate, cover_cell_predicate,
                                             cover_lonlat_predicate, cover_ranges,
                                             encode_points)
-from vt_grid_spark.operators.rollup import HOLISTIC, rollup_level
+from vt_grid_spark.operators.rollup import HOLISTIC, merge_cells, rollup_level
 from vt_grid_spark.plans.aggspec import AggSpec, compile_aggs
 from vt_grid_spark.plans.pyramid_plan import PyramidPlan
 from vt_grid_spark.sources.table_io import TableIO
@@ -57,6 +57,11 @@ def _rollup_small_pandas(pdf, child_z: int, specs: list[AggSpec]):
             aggs[f"{s.out}__wv"] = (f"{s.out}__wv", "sum")
         elif s.reducer == "union":
             aggs[s.out] = (s.out, lambda col: sorted({v for arr in col for v in arr}))
+        elif s.reducer == "kmvDistinct":
+            # k smallest of the union of the children's k-smallest — same
+            # exact-merge rule as compile_rollup_aggs
+            aggs[s.out] = (s.out, lambda col, k=s.k:
+                           sorted({v for arr in col for v in arr})[:k])
     out = pdf.groupby(["x", "y"], as_index=False).agg(**aggs)
     out.insert(0, "zoom", z)
     out.insert(3, "quadkey", tm.tile_to_quadkey(out["x"].to_numpy(),
@@ -192,6 +197,76 @@ def build_pyramid(points: DataFrame, plan: PyramidPlan, io: TableIO,
 
     if prev_df is not None:
         prev_df.unpersist()
+    return manifests
+
+
+def incremental_update(delta_points: DataFrame, plan: PyramidPlan,
+                       io: TableIO) -> dict:
+    """Fold a NEW batch of points into an existing COMPLETE pyramid without
+    re-reading raw history (reference users re-run vt-grid over the whole
+    mbtiles; here the checkpointed levels + mergeable reducers make the
+    delta path exact: every reducer's rollup combiner is a commutative
+    monoid, so merge(existing_level, rollup(delta)) == rebuild over the
+    union — asserted level-by-level in tests/test_pyramid.py).
+
+    Scale shape (100 TB pyramid, small delta): per level the delta touches
+    |delta cells| keys — broadcast that key set, route untouched existing
+    rows through a broadcast LEFT ANTI join (no shuffle of the big table),
+    and hash-merge only the touched slice with the delta partials.  Cost
+    per level = one scan of the level + one tiny shuffle of the touched
+    slice, instead of a full rebuild from raw points.  Deletes are out of
+    scope (append-only corpus, min/max/union/kmv are insert-monotone).
+    """
+    spark = delta_points.sparkSession
+    levels = list(plan.levels())
+    _, base_cell_z, base_band = levels[0]
+    for _, cell_z, _ in levels:
+        if not io.level_complete(cell_z):
+            raise ValueError(
+                f"incremental_update needs a complete pyramid; zoom {cell_z} "
+                "is missing — run build_pyramid first (resume finishes a "
+                "partial build)")
+
+    manifests: dict[int, dict] = {}
+    delta = cell_aggregate(_apply_cover(delta_points, plan, base_cell_z),
+                           base_cell_z,
+                           compile_aggs(base_band.aggregations)).persist()
+    prev_cell_z = None
+    for output_z, cell_z, band in levels:
+        if prev_cell_z is not None:
+            nxt = rollup_level(delta, prev_cell_z, band.aggregations).persist()
+            delta.unpersist()
+            delta = nxt
+        specs = band.aggregations
+        existing = io.read_level(spark, cell_z)
+        keys = delta.select("x", "y")
+        untouched = existing.join(F.broadcast(keys), ["x", "y"], "left_anti")
+        touched = existing.join(F.broadcast(keys), ["x", "y"], "left_semi")
+        merged = merge_cells([touched, delta], cell_z, specs)
+        cols = merged.columns
+        # localCheckpoint materializes the new level BEFORE write_level
+        # overwrites the path it was lazily reading from (self-overwrite
+        # would delete the input mid-job)
+        new_level = (untouched.select(*cols).unionByName(merged)
+                     .localCheckpoint(eager=True))
+        old = io.read_manifest(cell_z)
+        manifests[cell_z] = io.write_level(
+            new_level, cell_z,
+            lineage={"input": f"zoom={cell_z}+delta", "op": "incremental-merge",
+                     "output_tile_zoom": output_z,
+                     "previous_row_count": old.get("row_count")},
+        )
+        # hot-key bookkeeping stays valid: recompute the max over the
+        # MATERIALIZED checkpoint (merged's own lineage would re-read the
+        # level files this write just replaced)
+        if old.get("max_cell_rows") is not None:
+            count_col = next((s.out for s in specs if s.reducer == "count"), None)
+            if count_col is not None:
+                row = new_level.agg(F.max(count_col)).collect()[0]
+                mx = int(row[0]) if row[0] is not None else 0
+                manifests[cell_z] = io.amend_manifest(cell_z, max_cell_rows=mx)
+        prev_cell_z = cell_z
+    delta.unpersist()
     return manifests
 
 

@@ -1000,3 +1000,70 @@ def aggspec_parse_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = encode_points(pts, 5, with_quadkey=False)
     out = cell_aggregate(enc, 5, compile_aggs(specs))
     return out.select("x", "y", "cnt", "chars", "umin", "umax")
+
+
+# ---------------------------------------------------------------------------
+# S7+: incremental pyramid update (delta ingest; operators/pyramid.py
+# incremental_update).  The engine builds a pyramid over 3/4 of the corpus,
+# then folds the remaining 1/4 in as a delta batch THROUGH the checkpointed
+# levels (broadcast anti-join routing + touched-slice merge).  The oracle
+# never sees the split: it aggregates ALL points directly at every zoom —
+# equality proves merge(existing, rollup(delta)) == rebuild.
+# ---------------------------------------------------------------------------
+
+_INC_LEVELS_SQL = "\nUNION ALL\n".join(
+    f"SELECT CAST({z} AS BIGINT) AS zoom, x8 >> {8 - z} AS x, y8 >> {8 - z} AS y,"
+    f" {sq.quadkey_sql(f'(x8 >> {8 - z})', f'(y8 >> {8 - z})', z)} AS quadkey,"
+    f" COUNT(*) AS cnt, CAST(SUM(chars) AS BIGINT) AS sum_chars"
+    f" FROM enc GROUP BY x8 >> {8 - z}, y8 >> {8 - z}"
+    for z in (8, 7, 6))
+
+
+@register(
+    "incremental_update_z8",
+    f"""
+WITH pts AS ({_PAGES}),
+enc AS (
+  SELECT {sq.tile_x_sql('lon', 8)} AS x8, {sq.tile_y_sql('lat', 8)} AS y8,
+         length(text) AS chars
+  FROM pts
+)
+{_INC_LEVELS_SQL}
+""",
+)
+def incremental_update_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpointed build over a hash-split 3/4 of the pages, then
+    incremental_update with the held-out 1/4; all three written levels
+    must equal the oracle's direct full-corpus aggregation."""
+    import shutil
+    import tempfile
+
+    from vt_grid_spark.operators.pyramid import build_pyramid, incremental_update
+    from vt_grid_spark.plans.aggspec import AggSpec
+    from vt_grid_spark.plans.pyramid_plan import PyramidPlan, ZoomBand
+    from vt_grid_spark.sources.table_io import TableIO
+
+    pts = _pts(spark, sf_dir).withColumn("chars", F.length("text").cast("long"))
+    plan = PyramidPlan(
+        bands=[ZoomBand(basezoom=9, minzoom=6,
+                        aggregations=[AggSpec(out="cnt", reducer="count"),
+                                      AggSpec(out="sum_chars", reducer="sum",
+                                              field="chars")])],
+        gridsize=1)  # cell zooms 8..6 (output starts at basezoom-1)
+    split = F.pmod(F.xxhash64("url"), F.lit(4))
+    d = tempfile.mkdtemp(prefix="vtgrid_inc_q_")
+    try:
+        io = TableIO(d)
+        build_pyramid(pts.where(split != 0), plan, io, resume=False)
+        incremental_update(pts.where(split == 0), plan, io)
+        rows = [io.read_level(spark, z)
+                  .select(F.col("zoom").cast("long").alias("zoom"),
+                          "x", "y", "quadkey", "cnt", "sum_chars")
+                  .toPandas()
+                for z in (8, 7, 6)]
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    import pandas as pd
+    return spark.createDataFrame(
+        pd.concat(rows),
+        "zoom long, x long, y long, quadkey string, cnt long, sum_chars long")
