@@ -176,3 +176,22 @@ def test_raster_to_cells_no_python(spark):
     cells = raster_to_cells(blocks, k=4)
     p = plan_str(cells)
     assert "Exchange" not in p and "EvalPython" not in p
+
+
+def test_hex_bin_stays_jvm_side(spark):
+    """The hex cell/parent encode is pure Column arithmetic: the whole
+    bin-aggregate plan must contain NO Python evaluation (children() is
+    the one sanctioned pandas-UDF surface) and exactly one exchange with
+    a map-side partial."""
+    from vt_grid_spark.cellindex import HexIndex
+    from vt_grid_spark.sources import pages
+
+    ix = HexIndex(0.75, aperture=3)
+    pts = pages.with_coords(pages.pages_df(spark, 100))
+    enc = (pts.withColumn("cell", ix.cell(F.col("lon"), F.col("lat")))
+           .withColumn("pcell", ix.parent(F.col("cell"))))
+    agg = enc.groupBy("cell", "pcell").agg(F.count("*").alias("cnt"))
+    p = plan_str(agg, "simple")
+    assert "EvalPython" not in p  # no BatchEvalPython / ArrowEvalPython
+    assert p.count("Exchange") == 1
+    assert "partial_count" in p

@@ -1067,3 +1067,65 @@ def incremental_update_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         pd.concat(rows),
         "zoom long, x long, y long, quadkey string, cnt long, sum_chars long")
+
+
+# ---------------------------------------------------------------------------
+# Cell-index contract, hex engine (cellindex.py HexIndex): hexagonal
+# binning + aperture parent, oracle = the same axial/cube-round arithmetic
+# term-for-term in DuckDB (constants via repr -> identical doubles).
+# ---------------------------------------------------------------------------
+
+_HEX_SIZE = 0.75
+_HEX_APERTURE = 3
+
+
+def _hex_center_sql(q: str, r: str, size: float) -> tuple[str, str]:
+    import math as _m
+    s32, s3 = _m.sqrt(3.0) / 2.0, _m.sqrt(3.0)
+    cx = f"({size!r} * (1.5 * CAST({q} AS DOUBLE)))"
+    cy = (f"({size!r} * ({s32!r} * CAST({q} AS DOUBLE)"
+          f" + {s3!r} * CAST({r} AS DOUBLE)))")
+    return cx, cy
+
+
+def _hex_bin_oracle() -> str:
+    from vt_grid_spark.cellindex import hex_q_sql, hex_r_sql
+    qs = hex_q_sql("lon", "lat", _HEX_SIZE)
+    rs = hex_r_sql("lon", "lat", _HEX_SIZE)
+    cx, cy = _hex_center_sql("q", "r", _HEX_SIZE)
+    coarse = _HEX_SIZE * _HEX_APERTURE
+    return f"""
+WITH pts AS ({_PAGES}),
+fine AS (
+  SELECT {qs} AS q, {rs} AS r, length(text) AS chars FROM pts
+),
+ctr AS (
+  SELECT q, r, chars, {cx} AS cx, {cy} AS cy FROM fine
+)
+SELECT q, r,
+       {hex_q_sql('cx', 'cy', coarse)} AS pq,
+       {hex_r_sql('cx', 'cy', coarse)} AS pr,
+       COUNT(*) AS cnt, CAST(SUM(chars) AS BIGINT) AS sum_chars
+FROM ctr
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@register("hex_bin_agg", _hex_bin_oracle())
+def hex_bin_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages binned into flat-top hexes (size 0.75 deg) with the aperture-3
+    parent carried — covers cell(), parent() and the packed-id round-trip
+    of the hex engine end-to-end against DuckDB."""
+    from vt_grid_spark.cellindex import HexIndex
+
+    ix = HexIndex(_HEX_SIZE, aperture=_HEX_APERTURE)
+    pts = _pts(spark, sf_dir).withColumn("chars", F.length("text").cast("long"))
+    enc = (pts.withColumn("cell", ix.cell(F.col("lon"), F.col("lat")))
+           .withColumn("pcell", ix.parent(F.col("cell"))))
+    q, r = HexIndex.qr(F.col("cell"))
+    pq, pr = HexIndex.qr(F.col("pcell"))
+    return (enc.select(q.alias("q"), r.alias("r"),
+                       pq.alias("pq"), pr.alias("pr"), "chars")
+            .groupBy("q", "r", "pq", "pr")
+            .agg(F.count("*").alias("cnt"),
+                 F.sum("chars").alias("sum_chars")))
