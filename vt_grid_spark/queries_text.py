@@ -760,3 +760,67 @@ def events_windowed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     return windowed_cell_counts(events, z=6, window="1 day")
+
+
+# ---------------------------------------------------------------------------
+# Corpus curation (operators/curation.py): deterministic stratified
+# sampling + per-domain rollup over the raw page corpus.  Both oracles
+# reproduce the EXACT row set: the sample threshold is an md5-derived
+# uniform fraction, identical in both engines.
+# ---------------------------------------------------------------------------
+
+from vt_grid_spark.sources import pages as _pages
+
+_RAW_PAGES = _pages.pages_cte_sql(_pages.N_FOR_SF["sf0.01"])
+_HOST_RE = "^[A-Za-z][A-Za-z0-9+.\\-]*://([^/]+)"
+_SAMPLE_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25, "zh": 0.1}
+_SAMPLE_DEFAULT = 0.05
+_FRAC_SQL = ("(CAST(('0x' || substr(md5(url), 1, 15))::BIGINT AS DOUBLE)"
+             f" / {float(1 << 60)!r})")
+_RATE_SQL = ("CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {float(r)!r}"
+    for k, r in sorted(_SAMPLE_RATES.items()))
+    + f" ELSE {float(_SAMPLE_DEFAULT)!r} END")
+
+
+@register(
+    "domain_stats",
+    f"""
+WITH pts AS ({_RAW_PAGES})
+SELECT regexp_extract(url, '{_HOST_RE}', 1) AS domain,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(SUM(length(text)) AS BIGINT) AS sum_chars
+FROM pts GROUP BY 1
+""",
+)
+def domain_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain rollup of the raw corpus (host via JVM regexp): doc
+    count, distinct languages, total chars — one mid-cardinality hash
+    aggregation."""
+    from vt_grid_spark.operators.curation import domain_stats
+
+    docs = _pages.pages_df(spark, _pages.n_for_sf_dir(sf_dir))
+    out = domain_stats(docs)
+    return out.select("domain", "n_docs",
+                      F.col("n_langs").cast("long").alias("n_langs"),
+                      F.col("sum_chars").cast("long").alias("sum_chars"))
+
+
+@register(
+    "stratified_sample_langs",
+    f"""
+WITH pts AS ({_RAW_PAGES})
+SELECT url, lang FROM pts
+WHERE {_FRAC_SQL} < {_RATE_SQL}
+""",
+)
+def stratified_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic language-stratified sample (data-mixing weights en
+    1.0 / de 0.5 / fr 0.25 / zh 0.1, default 0.05): the oracle reproduces
+    the EXACT kept document set, row for row — no RNG anywhere."""
+    from vt_grid_spark.operators.curation import stratified_sample
+
+    docs = _pages.pages_df(spark, _pages.n_for_sf_dir(sf_dir))
+    return stratified_sample(docs, _SAMPLE_RATES,
+                             default_rate=_SAMPLE_DEFAULT).select("url", "lang")
