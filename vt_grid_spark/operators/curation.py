@@ -52,7 +52,7 @@ def stratified_sample(df: DataFrame, rates: dict[str, float],
 
 
 def with_domain(df: DataFrame, url_col: str = "url",
-                out: str = "domain") -> Column | DataFrame:
+                out: str = "domain") -> DataFrame:
     """Registrable host extraction: scheme://HOST/... -> HOST (JVM regexp,
     empty string when the url has no authority component)."""
     host = F.regexp_extract(F.col(url_col),
