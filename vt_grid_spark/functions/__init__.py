@@ -83,6 +83,18 @@ def tile_lat(y: Column, z: int) -> Column:
     return F.degrees(F.atan(F.lit(0.5) * (F.exp(n) - F.exp(-n))))
 
 
+def tile_lon_dyn(x: Column, zoom: Column) -> Column:
+    """tile_lon with a per-row zoom column (sqltext.tile_lon_dyn_sql twin)."""
+    return (x.cast("double") / F.pow(F.lit(2.0), zoom.cast("double"))
+            * F.lit(360.0) - F.lit(180.0))
+
+
+def tile_lat_dyn(y: Column, zoom: Column) -> Column:
+    n = (F.lit(math.pi) - F.lit(2.0 * math.pi) * y.cast("double")
+         / F.pow(F.lit(2.0), zoom.cast("double")))
+    return F.degrees(F.atan(F.lit(0.5) * (F.exp(n) - F.exp(-n))))
+
+
 def degenerate_pass_point(lon: Column, lat: Column, x: Column, y: Column,
                           z: int) -> Column:
     """Strict-interior degenerate test for a POINT feature against its

@@ -48,3 +48,15 @@ def tile_lat_sql(y: str, z: int) -> str:
 
 def tile_lon_sql(x: str, z: int) -> str:
     return f"(CAST({x} AS DOUBLE) / {float(1 << z)} * 360.0 - 180.0)"
+
+
+def tile_lon_dyn_sql(x: str, zoom: str) -> str:
+    """Per-row-zoom variant of :func:`tile_lon_sql` — POWER(2.0, z) is
+    exact for integer z, so the double ops match the literal-z text."""
+    return f"(CAST({x} AS DOUBLE) / POWER(2.0, {zoom}) * 360.0 - 180.0)"
+
+
+def tile_lat_dyn_sql(y: str, zoom: str) -> str:
+    nexpr = (f"({math.pi} - {2.0 * math.pi} * CAST({y} AS DOUBLE)"
+             f" / POWER(2.0, {zoom}))")
+    return f"DEGREES(ATAN(0.5 * (EXP({nexpr}) - EXP(-{nexpr}))))"

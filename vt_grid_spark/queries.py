@@ -205,17 +205,33 @@ enc AS (
   FROM pts
 )
 SELECT x, y, string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs,
-       COUNT(DISTINCT lang) AS n_langs
+       COUNT(DISTINCT lang) AS n_langs, COUNT(*) AS cnt
 FROM enc GROUP BY x, y
 """,
 )
 def union_langs_z4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vt_grid_spark.operators.encode import encode_points
+    """A4 union reducer + A6 postAggregation + O5/g5 salted skew handling
+    on ONE oracle surface (consolidated from the separate
+    salted_agg_equivalence query — the driver records at most 50 rows):
+    the engine runs its SALTED two-phase rollup (z5 cells -> z4 parents;
+    the holistic union reducer forces the (key, salt) phase and the
+    corpus has a 20% hot-cell cluster) while the oracle is the plain
+    single-phase z4 aggregation — equality proves salting is transparent
+    AND union-of-unions is associative."""
+    from vt_grid_spark.operators.encode import cell_aggregate, encode_points
+    from vt_grid_spark.operators.rollup import rollup_level
+    from vt_grid_spark.plans.aggspec import AggSpec, compile_aggs
 
-    enc = encode_points(_pts(spark, sf_dir), 4, with_quadkey=False)
-    return enc.groupBy("x", "y").agg(
-        F.array_join(F.array_sort(F.collect_set("lang")), ",").alias("langs"),
-        F.size(F.collect_set("lang")).cast("long").alias("n_langs"),
+    specs = [AggSpec(out="cnt", reducer="count"),
+             AggSpec(out="langs", reducer="union", field="lang")]
+    enc = encode_points(_pts(spark, sf_dir), 5, with_quadkey=False)
+    cells = cell_aggregate(enc, 5, compile_aggs(specs))
+    lvl = rollup_level(cells, 5, specs, salt_buckets=8)
+    return lvl.select(
+        "x", "y",
+        F.array_join("langs", ",").alias("langs"),
+        F.size("langs").cast("long").alias("n_langs"),
+        "cnt",
     )
 
 
@@ -367,23 +383,38 @@ c AS (
   SELECT qid, url,
          (qlat - lat) * (qlat - lat) + (qlon - lon) * (qlon - lon) AS d2
   FROM pts, q
+),
+top AS (
+  SELECT qid, rank, url, d2 FROM (
+    SELECT qid, url, d2,
+           row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, url ASC) AS rank
+    FROM c
+  ) WHERE rank <= 10
 )
-SELECT qid, rank, url, d2 FROM (
-  SELECT qid, url, d2,
-         row_number() OVER (PARTITION BY qid ORDER BY d2 ASC, url ASC) AS rank
-  FROM c
-) WHERE rank <= 10
+SELECT m.method, t.qid, t.rank, t.url, t.d2
+FROM top t, (VALUES ('brute'), ('cells')) m(method)
 """
 
 
 @register("knn_top10", _KNN_ORACLE)
 def knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vt_grid_spark.operators.knn import knn_bruteforce
+    """BOTH kNN strategies against one oracle (consolidated from the
+    separate knn_cells_top10 query — the driver records at most 50 rows):
+    the brute-force exact baseline AND the cell-bucketed exact variant
+    (safety-radius re-ring escalation, knn.py) must each reproduce the
+    oracle's top-10 rows per query point."""
+    from vt_grid_spark.operators.knn import knn_bruteforce, knn_cells
 
     queries = spark.createDataFrame(_KNN_QUERIES, "qid long, lon double, lat double")
     pts = _pts(spark, sf_dir)
-    out = knn_bruteforce(pts, queries, 10)
-    return out.select("qid", F.col("rank").cast("long").alias("rank"), "url", "d2")
+
+    def tag(df: DataFrame, method: str) -> DataFrame:
+        return df.select(
+            F.lit(method).alias("method"), "qid",
+            F.col("rank").cast("long").alias("rank"), "url", "d2")
+
+    return tag(knn_bruteforce(pts, queries, 10), "brute").unionByName(
+        tag(knn_cells(pts, queries, 10, z=6, ring=1), "cells"))
 
 
 # ---------------------------------------------------------------------------
@@ -394,16 +425,34 @@ def knn_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
     "raster_to_cells",
     """
 WITH b AS (SELECT range AS id FROM range(0, 32)),
-px AS (SELECT id, range AS pos FROM b, range(0, 256))
-SELECT 12 AS zoom,
-       (id % 8 + 100) * 16 + pos % 16 AS x,
-       (id // 8 + 80) * 16 + pos // 16 AS y,
-       CAST((id * 31 + pos * 7) % 97 AS DOUBLE) AS value
-FROM px WHERE (id * 31 + pos * 7) % 97 != 0
+px AS (SELECT id, range AS pos FROM b, range(0, 256)),
+fwd AS (
+  SELECT 12 AS zoom,
+         (id % 8 + 100) * 16 + pos % 16 AS x,
+         (id // 8 + 80) * 16 + pos // 16 AS y,
+         CAST((id * 31 + pos * 7) % 97 AS DOUBLE) AS value
+  FROM px WHERE (id * 31 + pos * 7) % 97 != 0
+),
+rb AS (SELECT range AS id FROM range(0, 16)),
+rpx AS (SELECT id, unnest(generate_series(0, 255)) AS p FROM rb),
+rt AS (
+  SELECT CAST(8 AS INT) AS zoom,
+         CAST(id % 4 + 50 AS BIGINT) AS x,
+         CAST(id // 4 + 60 AS BIGINT) AS y,
+         ROUND(SUM(CAST((id * 13 + p * 3) % 89 AS DOUBLE)), 6) AS value
+  FROM rpx GROUP BY id
+)
+SELECT * FROM fwd UNION ALL SELECT * FROM rt
 """,
 )
 def raster_to_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vt_grid_spark.operators.raster import raster_to_cells
+    """Raster->vector AND the vector->raster ROUNDTRIP on one oracle
+    surface (consolidated from the separate cells_to_raster_roundtrip
+    query — the driver records at most 50 rows).  zoom=12 rows are the
+    forward posexplode conversion; zoom=8 rows are per-tile band sums
+    after cells_to_raster(raster_to_cells(blocks)) — value conservation
+    proves the dense re-assembly is the exact inverse."""
+    from vt_grid_spark.operators.raster import cells_to_raster, raster_to_cells
 
     k = 4
     side2 = (1 << k) ** 2
@@ -416,7 +465,21 @@ def raster_to_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda p: ((F.col("id") * 31 + p * 7) % 97).cast("double"),
         ).alias("band"),
     )
-    return raster_to_cells(blocks, k=k, drop_zero=True)
+    fwd = raster_to_cells(blocks, k=k, drop_zero=True)
+
+    blocks2 = spark.range(16).select(
+        F.lit(8).alias("tile_z"),
+        (F.col("id") % 4 + 50).alias("tile_x"),
+        ((F.col("id") / 4).cast("long") + 60).alias("tile_y"),
+        F.transform(F.sequence(F.lit(0), F.lit(side2 - 1)),
+                    lambda p: ((F.col("id") * 13 + p * 3) % 89).cast("double")).alias("band"),
+    )
+    back = cells_to_raster(raster_to_cells(blocks2, k=k, drop_zero=False), k=k)
+    rt = back.select(
+        F.col("tile_z").alias("zoom"), F.col("tile_x").alias("x"),
+        F.col("tile_y").alias("y"),
+        F.round(F.aggregate("band", F.lit(0.0), lambda a, v: a + v), 6).alias("value"))
+    return fwd.unionByName(rt)
 
 
 # second operator batch registers itself on import (dedup/similarity/text/multimodal)
@@ -426,112 +489,9 @@ from vt_grid_spark import queries_text  # noqa: E402,F401
 from vt_grid_spark import queries_extras  # noqa: E402,F401
 
 
-# ---------------------------------------------------------------------------
-# F2: tile -> bbox scalar functions, cross-engine transcendental parity
-# (exp/atan/degrees in Spark vs DuckDB, rounded to 9 dp)
-# ---------------------------------------------------------------------------
-
-@register(
-    "cell_bbox_z7",
-    f"""
-WITH pts AS ({_PAGES}),
-enc AS (
-  SELECT DISTINCT {sq.tile_x_sql('lon', 7)} AS x, {sq.tile_y_sql('lat', 7)} AS y
-  FROM pts
-)
-SELECT x, y,
-  ROUND({sq.tile_lon_sql('x', 7)}, 9) AS west,
-  ROUND({sq.tile_lat_sql('(y + 1)', 7)}, 9) AS south,
-  ROUND({sq.tile_lon_sql('(x + 1)', 7)}, 9) AS east,
-  ROUND({sq.tile_lat_sql('y', 7)}, 9) AS north
-FROM enc
-""",
-)
-def cell_bbox_z7(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vt_grid_spark.operators.encode import encode_points
-
-    enc = encode_points(_pts(spark, sf_dir), 7, with_quadkey=False)
-    cells = enc.select("x", "y").distinct()
-    return cells.select(
-        "x", "y",
-        F.round(vf.tile_lon(F.col("x"), 7), 9).alias("west"),
-        F.round(vf.tile_lat(F.col("y") + F.lit(1), 7), 9).alias("south"),
-        F.round(vf.tile_lon(F.col("x") + F.lit(1), 7), 9).alias("east"),
-        F.round(vf.tile_lat(F.col("y"), 7), 9).alias("north"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# O5/g5: salted two-phase aggregation == plain aggregation (skew handling
-# is semantically invisible; the corpus has a 20% hot-cell cluster)
-# ---------------------------------------------------------------------------
-
-@register(
-    "salted_agg_equivalence",
-    f"""
-WITH pts AS ({_PAGES}),
-enc AS (
-  SELECT {sq.tile_x_sql('lon', 8)} AS x, {sq.tile_y_sql('lat', 8)} AS y, lang
-  FROM pts
-)
-SELECT x >> 1 AS x, y >> 1 AS y, COUNT(*) AS cnt,
-       string_agg(DISTINCT lang, ',' ORDER BY lang) AS langs
-FROM enc GROUP BY 1, 2
-""",
-)
-def salted_agg_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Runs the engine's SALTED two-phase rollup (holistic union reducer
-    forces the salt path) over the skewed corpus; the oracle is the plain
-    single-phase aggregation — equality proves salting is transparent."""
-    from vt_grid_spark.operators.encode import cell_aggregate, encode_points
-    from vt_grid_spark.operators.rollup import rollup_level
-    from vt_grid_spark.plans.aggspec import AggSpec, compile_aggs
-
-    specs = [AggSpec(out="cnt", reducer="count"),
-             AggSpec(out="langs", reducer="union", field="lang")]
-    enc = encode_points(_pts(spark, sf_dir), 8, with_quadkey=False)
-    cells = cell_aggregate(enc, 8, compile_aggs(specs))
-    lvl = rollup_level(cells, 8, specs, salt_buckets=8)
-    return lvl.select("x", "y", "cnt", F.array_join("langs", ",").alias("langs"))
-
-
-# ---------------------------------------------------------------------------
-# kNN cell-bucketed variant and vector->raster (rows-only: non-SQL shapes)
-# ---------------------------------------------------------------------------
-
-@register("knn_cells_top10", _KNN_ORACLE)  # exact (safety-radius escalation)
-def knn_cells_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vt_grid_spark.operators.knn import knn_cells
-
-    queries = spark.createDataFrame(_KNN_QUERIES, "qid long, lon double, lat double")
-    out = knn_cells(_pts(spark, sf_dir), queries, 10, z=6, ring=1)
-    return out.select("qid", F.col("rank").cast("long").alias("rank"), "url", "d2")
-
-
-@register(
-    "cells_to_raster_roundtrip",
-    """
-WITH b AS (SELECT range AS id FROM range(0, 16)),
-px AS (SELECT id, unnest(generate_series(0, 255)) AS p FROM b)
-SELECT CAST(8 AS INT) AS tile_z,
-       CAST(id % 4 + 50 AS BIGINT) AS tile_x,
-       CAST(id // 4 + 60 AS BIGINT) AS tile_y,
-       ROUND(SUM(CAST((id * 13 + p * 3) % 89 AS DOUBLE)), 6) AS band_sum
-FROM px GROUP BY id
-""",
-)
-def cells_to_raster_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vt_grid_spark.operators.raster import cells_to_raster, raster_to_cells
-
-    k = 4
-    side2 = (1 << k) ** 2
-    blocks = spark.range(16).select(
-        F.lit(8).alias("tile_z"),
-        (F.col("id") % 4 + 50).alias("tile_x"),
-        ((F.col("id") / 4).cast("long") + 60).alias("tile_y"),
-        F.transform(F.sequence(F.lit(0), F.lit(side2 - 1)),
-                    lambda p: ((F.col("id") * 13 + p * 3) % 89).cast("double")).alias("band"),
-    )
-    back = cells_to_raster(raster_to_cells(blocks, k=k, drop_zero=False), k=k)
-    return back.select("tile_z", "tile_x", "tile_y",
-                       F.round(F.aggregate("band", F.lit(0.0), lambda a, v: a + v), 6).alias("band_sum"))
+# F2 bbox parity now rides bbox_cover_build_z9 (queries_extras.py), the
+# salted-rollup equivalence rides union_langs_z4, the cell-bucketed kNN
+# rides knn_top10, and the raster roundtrip rides raster_to_cells — four
+# standalone queries consolidated so the whole surface fits the driver's
+# 50-row correctness artifact (round-3 finding: entries past #50 were
+# silently unrecorded).

@@ -381,17 +381,31 @@ cov AS (
 ),
 b AS (SELECT 9 AS zoom, x, y, COUNT(*) AS cnt FROM cov GROUP BY x, y),
 p AS (SELECT 8 AS zoom, x >> 1 AS x, y >> 1 AS y, CAST(SUM(cnt) AS BIGINT) AS cnt
-      FROM b GROUP BY 2, 3)
-SELECT CAST(zoom AS BIGINT) AS zoom, x, y, cnt FROM b
-UNION ALL
-SELECT CAST(zoom AS BIGINT) AS zoom, x, y, cnt FROM p
+      FROM b GROUP BY 2, 3),
+u AS (
+  SELECT CAST(zoom AS BIGINT) AS zoom, x, y, cnt FROM b
+  UNION ALL
+  SELECT CAST(zoom AS BIGINT) AS zoom, x, y, cnt FROM p
+)
+SELECT zoom, x, y, cnt,
+  ROUND({sq.tile_lon_dyn_sql('x', 'zoom')}, 9) AS west,
+  ROUND({sq.tile_lat_dyn_sql('(y + 1)', 'zoom')}, 9) AS south,
+  ROUND({sq.tile_lon_dyn_sql('(x + 1)', 'zoom')}, 9) AS east,
+  ROUND({sq.tile_lat_dyn_sql('y', 'zoom')}, 9) AS north
+FROM u
 """,
 )
 def bbox_cover_build_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-level pyramid restricted to a bbox through the PyramidPlan
     cover API — every cell in the output intersects the bbox; the raw-
     column prefilter reaches the scan as PushedFilters
-    (tests/test_physical_plans.py::test_bbox_cover_pushdown)."""
+    (tests/test_physical_plans.py::test_bbox_cover_pushdown).
+
+    Also carries the F2 tileToBBOX parity check (consolidated from the
+    separate cell_bbox_z7 query — the driver records at most 50 rows):
+    each output cell's west/south/east/north come from the per-row-zoom
+    tile_lon/tile_lat transcendentals, rounded to 9 dp, matched against
+    the DuckDB twins at BOTH zoom levels."""
     from vt_grid_spark.operators.pyramid import build_pyramid_df
     from vt_grid_spark.plans.aggspec import AggSpec
     from vt_grid_spark.plans.pyramid_plan import PyramidPlan, ZoomBand
@@ -401,7 +415,14 @@ def bbox_cover_build_z9(spark: SparkSession, sf_dir: str) -> DataFrame:
                         aggregations=[AggSpec(out="cnt", reducer="count")])],
         gridsize=1, bbox=_COVER_BBOX)
     out = build_pyramid_df(_pts(spark, sf_dir), plan)
-    return out.select(F.col("zoom").cast("long").alias("zoom"), "x", "y", "cnt")
+    z = F.col("zoom").cast("long")
+    return out.select(
+        z.alias("zoom"), "x", "y", "cnt",
+        F.round(vf.tile_lon_dyn(F.col("x"), z), 9).alias("west"),
+        F.round(vf.tile_lat_dyn(F.col("y") + F.lit(1), z), 9).alias("south"),
+        F.round(vf.tile_lon_dyn(F.col("x") + F.lit(1), z), 9).alias("east"),
+        F.round(vf.tile_lat_dyn(F.col("y"), z), 9).alias("north"),
+    )
 
 
 # ---------------------------------------------------------------------------
