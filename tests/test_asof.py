@@ -53,3 +53,38 @@ def test_asof_plan_one_shuffle_no_broadcast(spark):
     # never a per-key cross product
     assert p.count("Exchange") <= 3
     assert "Window" in p
+
+
+def test_asof_null_right_field_stays_null(spark):
+    """ASOF returns the MATCHED row's value, NULL included: a NULL field
+    in the matched right row must not inherit a staler row's non-null
+    value (the per-column last(ignorenulls) bug — the whole right row is
+    carried as one struct)."""
+    d = "2024-01-01 "
+    left = _df(spark, [(1, 10, d + "12:00:00")],
+               "event_id long, user_id long, ts string")
+    right = spark.createDataFrame(
+        [(100, "stale", 10, d + "09:00:00"),
+         (101, None, 10, d + "11:00:00")],   # the as-of match; label NULL
+        "event_id long, label string, user_id long, ts string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    row = asof_join(left, right, key="user_id",
+                    right_cols=["event_id", "label"],
+                    tiebreaker="event_id").collect()[0]
+    assert row.r_event_id == 101
+    assert row.r_label is None          # NOT "stale"
+    assert str(row.r_ts) == d + "11:00:00"
+
+
+def test_asof_left_column_collision_raises(spark):
+    import pytest
+
+    left = spark.range(3).select(
+        F.col("id").alias("user_id"), F.col("id").alias("r_event_id"),
+        F.timestamp_seconds(F.col("id")).alias("ts"))
+    right = spark.range(3).select(
+        F.col("id").alias("user_id"), F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.col("id")).alias("ts"))
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, key="user_id", right_cols=["event_id"])

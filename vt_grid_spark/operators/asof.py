@@ -11,10 +11,13 @@ the driver.  The scalable composition is the tagged-union window:
      among equal timestamps otherwise);
   2. union left and right rows with an ``is_right`` tag (right sorts
      FIRST at equal ts, giving the standard >= semantics);
-  3. one window per key ordered by (ts, tag): ``last(right_col,
+  3. one window per key ordered by (ts, tag): ``last(match_struct,
      ignoreNulls)`` over unbounded-preceding rows carries the most recent
-     right values forward;
-  4. keep the left rows.
+     right ROW forward as ONE struct (never per-column — per-column
+     last(ignorenulls) would let a NULL field in the matched row keep a
+     staler row's non-null value, mixing values from different right
+     rows and diverging from ASOF semantics);
+  4. keep the left rows and project the struct fields out.
 
 Cost: ONE shuffle (the window partition), no broadcast, no key-size
 assumptions — the same shape Flink's event-time joins and kdb's aj reduce
@@ -40,34 +43,40 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     rcols = right_cols or [c for c in right.columns
                            if c not in (key, right_ts)]
     tb = tiebreaker or rcols[0]
+    carried = [f"{prefix}{c}" for c in rcols] + [f"{prefix}{right_ts}"]
 
-    # 1. deterministic right side: one row per (key, ts), max tiebreaker
+    clash = [c for c in {"_t", "_is_r", "_rmatch", *carried}
+             if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"asof_join internal/output column names {sorted(clash)} "
+            "collide with left columns — rename them on the left side or "
+            "pass a different prefix")
+
+    # 1. deterministic right side: one row per (key, ts), max tiebreaker;
+    # the whole matched row rides in ONE struct (field __rts = right ts),
+    # non-null for every right row, absent (null) for left rows.
     r1 = (right.groupBy(key, right_ts)
           .agg(F.max_by(F.struct(*rcols), F.col(tb)).alias("_r"))
           .select(key, F.col(right_ts).alias("_t"),
-                  *[F.col(f"_r.{c}").alias(f"{prefix}{c}") for c in rcols]))
-    r1 = (r1.withColumn(f"{prefix}{right_ts}", F.col("_t"))
+                  F.struct(*[F.col(f"_r.{c}").alias(c) for c in rcols],
+                           F.col(right_ts).alias("__rts")).alias("_rmatch"))
           .withColumn("_is_r", F.lit(1)))
-    carried = [f"{prefix}{c}" for c in rcols] + [f"{prefix}{right_ts}"]
 
     lcols = left.columns
     l1 = left.withColumn("_t", F.col(left_ts)).withColumn("_is_r", F.lit(0))
-    for c in carried:
-        l1 = l1.withColumn(c, F.lit(None))
-    for c in lcols:
-        if c not in r1.columns:
-            r1 = r1.withColumn(c, F.lit(None))
-    u = l1.select(key, "_t", "_is_r", *carried,
-                  *[c for c in lcols if c != key]) \
-        .unionByName(r1.select(key, "_t", "_is_r", *carried,
-                               *[c for c in lcols if c != key]))
+    # allowMissingColumns: left rows get a typed-null _rmatch, right rows
+    # get typed-null left data columns.
+    u = l1.unionByName(r1, allowMissingColumns=True)
 
-    # 3. carry the latest right values forward; right rows sort first at
+    # 3. carry the latest right ROW forward; right rows sort first at
     # equal _t (desc on the tag), giving right_ts <= left_ts inclusively
     w = (Window.partitionBy(key)
          .orderBy(F.col("_t").asc(), F.col("_is_r").desc())
          .rowsBetween(Window.unboundedPreceding, 0))
-    out = u
-    for c in carried:
-        out = out.withColumn(c, F.last(c, ignorenulls=True).over(w))
-    return out.where(F.col("_is_r") == 0).select(*lcols, *carried)
+    out = (u.withColumn("_rmatch", F.last("_rmatch", ignorenulls=True).over(w))
+           .where(F.col("_is_r") == 0))
+    return out.select(
+        *lcols,
+        *[F.col(f"_rmatch.{c}").alias(f"{prefix}{c}") for c in rcols],
+        F.col("_rmatch.__rts").alias(f"{prefix}{right_ts}"))
