@@ -312,3 +312,48 @@ def test_winnow_shared_substring_guarantee(spark):
         s.setdefault(r.doc_id, set()).add(r.fp)
     assert s[1] & s[2]
     assert len(s[3]) > 0
+
+
+def test_hot_bucket_cap_bounds_band_join_flood(spark):
+    """A planted 10^4-doc identical-boilerplate bucket must never reach the
+    band self-join when max_bucket is set: without the cap the join
+    materializes ~4 bands * 10^8 /2 pair rows before any filter; with it
+    the join input is exactly the non-hot docs' band rows.  Pairs among
+    distinct docs are unaffected; the drop is auditable."""
+    from vt_grid_spark.operators.dedup import (cap_hot_buckets,
+                                               minhash_bands,
+                                               minhash_dup_pairs,
+                                               minhash_signatures,
+                                               oversized_buckets,
+                                               simhash_dup_pairs)
+
+    n_hot = 10_000
+    hot = spark.range(n_hot).select(
+        F.col("id").alias("doc_id"),
+        F.lit("identical boilerplate navigation footer text").alias("text"))
+    pair = spark.createDataFrame(
+        [(100_001, "alpha beta gamma delta epsilon zeta"),
+         (100_002, "alpha beta gamma delta epsilon zeta!"),
+         (100_003, "completely unrelated content here")],
+        "doc_id long, text string")
+    corpus = hot.unionByName(pair)
+
+    # the join INPUT is provably bounded: after the cap only the 3
+    # non-hot docs' band rows remain (4 bands each)
+    bands = minhash_bands(minhash_signatures(corpus))
+    kept = cap_hot_buckets(bands, ["band", "band_hash"], max_bucket=100)
+    assert kept.count() == 3 * 4
+    # and the drop-log names the hot buckets (4 bands, 10^4 docs each)
+    dropped = oversized_buckets(bands, ["band", "band_hash"], 100).collect()
+    assert len(dropped) == 4 and all(r.n == n_hot for r in dropped)
+
+    out = minhash_dup_pairs(corpus, threshold=0.5,
+                            max_bucket=100).collect()
+    ids = {(r.id_a, r.id_b) for r in out}
+    assert (100_001, 100_002) in ids
+    assert all(a >= 100_000 and b >= 100_000 for a, b in ids)
+
+    out2 = simhash_dup_pairs(corpus, r=3, max_bucket=100).collect()
+    ids2 = {(r.id_a, r.id_b) for r in out2}
+    assert (100_001, 100_002) in ids2
+    assert all(a >= 100_000 and b >= 100_000 for a, b in ids2)

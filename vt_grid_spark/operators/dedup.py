@@ -11,8 +11,9 @@ Scale notes:
   * MinHash LSH — signatures computed scan-side (no shuffle), candidate
     generation is a self-equi-join on (band, band_hash): only rows sharing
     a bucket meet, the classic O(candidates) instead of O(n^2).  Hot
-    buckets (boilerplate pages) are the skew risk: cap bucket size /
-    salt-split verify stage.
+    buckets (boilerplate pages) are the skew risk: ``max_bucket`` +
+    :func:`cap_hot_buckets` bound them BEFORE the join (drop-with-audit —
+    a bucket shared by 10^6 docs carries ~0 discriminative bits).
   * SimHash — 64-bit signature; near-dup = popcount(xor) <= r via
     band-rotations join or small-r pigeonhole split.
 """
@@ -43,6 +44,29 @@ def shingles_col(text_col: str, k: int = 3):
 def shingle_hash_sql_spark(s: str) -> str:
     """32-bit integer hash of a shingle via md5 prefix — Spark SQL text."""
     return f"cast(conv(substring(md5({s}), 1, 8), 16, 10) as bigint)"
+
+
+def cap_hot_buckets(bands: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """Exclude LSH buckets holding more than ``max_bucket`` rows from
+    candidate generation — the adversarial-boilerplate guard (SURVEY.md §7
+    g5 skew note): one count aggregation on the bucket key (map-side
+    partials, so a hot bucket's exchange sees <= #tasks rows) and a
+    left_semi against the allowed list run BEFORE the self-join, so a
+    10^6-doc identical-boilerplate bucket costs O(|bucket|) shuffle rows
+    instead of |bucket|^2 join rows.  Dropping a bucket trades recall for
+    survival — exactly when the bucket is non-discriminative anyway (a
+    band shared by 10^6 docs carries ~0 bits).  Audit what was dropped
+    with :func:`oversized_buckets`."""
+    allowed = (bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("_n"))
+               .where(F.col("_n") <= max_bucket).drop("_n"))
+    return bands.join(allowed.hint("shuffle_hash"), keys, "left_semi")
+
+
+def oversized_buckets(bands: DataFrame, keys: list[str], max_bucket: int) -> DataFrame:
+    """The drop-log for :func:`cap_hot_buckets`: (keys..., n) of every
+    bucket the cap excluded, for pipeline audit/metrics."""
+    return (bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") > max_bucket))
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -101,7 +125,8 @@ def minhash_bands(sigs: DataFrame, id_col: str = "doc_id",
 def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", threshold: float = 0.5,
                       n_hashes: int = 16, band_size: int = 4, k: int = 3,
-                      est_margin: float = 0.25) -> DataFrame:
+                      est_margin: float = 0.25,
+                      max_bucket: int | None = None) -> DataFrame:
     """Candidate pairs from LSH buckets, prefiltered by minhash-signature
     agreement, refined by EXACT shingle-set Jaccard >= threshold.
     Returns (id_a, id_b, jac) with id_a < id_b.
@@ -141,6 +166,8 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
         F.col(id_col), *mh_cols, F.explode(F.array(*band_structs)).alias("_b"),
     ).select(id_col, *mh_cols, F.col("_b.band").alias("band"),
              F.col("_b.band_hash").alias("band_hash"))
+    if max_bucket is not None:
+        bands = cap_hot_buckets(bands, ["band", "band_hash"], max_bucket)
     a = bands.select(F.col(id_col).alias("id_a"), "band", "band_hash",
                      *[F.col(c).alias(f"a_{c}") for c in mh_cols])
     b_ = bands.select(F.col(id_col).alias("id_b"), "band", "band_hash",
@@ -229,7 +256,8 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
 
 def simhash_dup_pairs(df: DataFrame, text_col: str = "text",
-                      id_col: str = "doc_id", r: int = 3, k: int = 3) -> DataFrame:
+                      id_col: str = "doc_id", r: int = 3, k: int = 3,
+                      max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs with Hamming distance <= r over 64-bit SimHash.
 
     Pigeonhole band split: the 64 bits split into r+1 disjoint bands; two
@@ -257,6 +285,8 @@ def simhash_dup_pairs(df: DataFrame, text_col: str = "text",
         F.explode(F.array(*band_structs)).alias("_b"),
     ).select(id_col, "simhash", F.col("_b.band").alias("band"),
              F.col("_b.band_bits").alias("band_bits"))
+    if max_bucket is not None:
+        bands = cap_hot_buckets(bands, ["band", "band_bits"], max_bucket)
     a = bands.select(F.col(id_col).alias("id_a"), F.col("simhash").alias("_sa"),
                      "band", "band_bits")
     b_ = bands.select(F.col(id_col).alias("id_b"), F.col("simhash").alias("_sb"),

@@ -105,7 +105,8 @@ def lsh_bucket_tables(df: DataFrame, dim: int, n_planes: int = 8,
 
 def ann_cosine_pairs(df: DataFrame, dim: int, threshold: float,
                      n_planes: int = 8, n_tables: int = 4,
-                     id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     max_bucket: int | None = None) -> DataFrame:
     """Approximate all-pairs similarity join (embedding dedup at pipeline
     scale): candidates = pairs sharing an LSH bucket in ANY of n_tables
     bucketings (self-equi-join on (tbl, bucket) — the minhash_bands shape,
@@ -116,6 +117,9 @@ def ann_cosine_pairs(df: DataFrame, dim: int, threshold: float,
     ids_vec = df.select(id_col, vec_col)
     bucketed = lsh_bucket_tables(ids_vec, dim, n_planes, n_tables, vec_col) \
         .select(id_col, "tbl", "bucket")
+    if max_bucket is not None:
+        from vt_grid_spark.operators.dedup import cap_hot_buckets
+        bucketed = cap_hot_buckets(bucketed, ["tbl", "bucket"], max_bucket)
     a = bucketed.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
     b = bucketed.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
     cand = (

@@ -117,7 +117,11 @@ WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
 """,
 )
 def minhash_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return minhash_dup_pairs(_docs(spark, sf_dir), threshold=0.7)
+    # max_bucket far above any natural sf bucket: output unchanged, but the
+    # hot-bucket guard (count + left_semi before the self-join) is exercised
+    # on the driver's correctness run
+    return minhash_dup_pairs(_docs(spark, sf_dir), threshold=0.7,
+                             max_bucket=10_000)
 
 
 @register(
@@ -228,7 +232,7 @@ def simhash_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = docs.where(F.col("doc_id") % 25 == 0).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"), "text")
     corpus = docs.unionByName(near).unionByName(exact)
-    return simhash_dup_pairs(corpus, r=3)
+    return simhash_dup_pairs(corpus, r=3, max_bucket=10_000)
 
 
 # ---------------------------------------------------------------------------
@@ -689,7 +693,7 @@ def ann_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = base.unionByName(near).unionByName(exact)
     return ann_cosine_pairs(corpus, dim=_ANN_DIM, threshold=0.9,
                             n_planes=_ANN_PLANES, n_tables=_ANN_TABLES,
-                            id_col="vec_id", vec_col="ve")
+                            id_col="vec_id", vec_col="ve", max_bucket=10_000)
 
 
 # ---------------------------------------------------------------------------
