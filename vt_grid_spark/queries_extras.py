@@ -896,7 +896,12 @@ def _media_corpus(spark: SparkSession, kind: str) -> DataFrame:
                 ids.append(i)
             yield pd.DataFrame({"doc_id": ids, kind: blobs})
 
-    return spark.range(_N_MEDIA).mapInPandas(gen, f"doc_id long, {kind} binary")
+    # 8 partitions, not the session's 32: 50 seed rows over 32 partitions
+    # spin up 32 Python workers for 1-2 rows each — at this fixture size
+    # worker startup IS the wall (bracketed: cold 6.6 s vs warm 0.73 s).
+    # Real media corpora come from parquet scans, not this generator.
+    return spark.range(0, _N_MEDIA, 1, 8).mapInPandas(
+        gen, f"doc_id long, {kind} binary")
 
 
 @register(
