@@ -204,3 +204,17 @@ def test_raster_roundtrip(spark):
     a = {(r.tile_x, r.tile_y): list(r.band) for r in blocks.collect()}
     b = {(r.tile_x, r.tile_y): list(r.band) for r in back.collect()}
     assert a == b
+
+
+def test_pip_refine_geometry_ships_as_broadcast(spark):
+    """The refine kernel must capture a Spark Broadcast handle, never the
+    raw geometry dict (which would re-pickle into every task closure at
+    10^5-polygon scale)."""
+    import pytest
+    from vt_grid_spark.operators import spatial_join as sj
+
+    with pytest.raises(TypeError, match="broadcast"):
+        sj._make_pip_udf({1: []})
+    bc = spark.sparkContext.broadcast(
+        {1: [[[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]]]})
+    assert sj._make_pip_udf(bc) is not None

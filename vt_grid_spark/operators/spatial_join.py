@@ -119,17 +119,26 @@ def points_in_polygon_numpy(lon: np.ndarray, lat: np.ndarray, rings: list) -> np
     return inside
 
 
-def _make_pip_udf(geoms: dict):
-    """Vectorized refine UDF with the polygon dict captured in the closure
-    (shipped once per stage via the task broadcast) — only (lon, lat,
-    poly_id, full) cross Arrow, never a geometry string per row.  The
-    ``full`` flag short-circuits inside the kernel: full-cell rows are
-    accepted by mask with zero ray-cast work, so the whole candidate set
-    flows through ONE filter pass (no double evaluation of the upstream
-    scan + encode + join subtree)."""
+def _make_pip_udf(geoms_bc):
+    """Vectorized refine UDF over a Spark BROADCAST of the polygon dict —
+    the closure captures only the broadcast handle, so the geometry ships
+    to each executor ONCE (torrent blocks), not re-pickled into every task
+    closure (at 10^5 complex polygons the per-task pickle was the cost).
+    Only (lon, lat, poly_id, full) cross Arrow, never a geometry string
+    per row.  The ``full`` flag short-circuits inside the kernel:
+    full-cell rows are accepted by mask with zero ray-cast work, so the
+    whole candidate set flows through ONE filter pass (no double
+    evaluation of the upstream scan + encode + join subtree)."""
+    from pyspark.broadcast import Broadcast
+
+    if not isinstance(geoms_bc, Broadcast):
+        raise TypeError(
+            "pass the geometry dict as a SparkContext.broadcast handle — a "
+            "plain dict would be re-serialized into every task closure")
 
     def kernel(lon: pd.Series, lat: pd.Series, poly_id: pd.Series,
                full: pd.Series) -> pd.Series:
+        geoms = geoms_bc.value
         out = full.to_numpy(dtype=bool).copy()
         todo = np.nonzero(~out)[0]
         if len(todo):
@@ -158,17 +167,19 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame, z: int = 9,
 
     Returns the points columns + poly_id.  Broadcast cover join + exact
     refine in one pass; full-cell rows short-circuit inside the kernel.
-    The only driver-side collect is the geometry strings for the refine
-    closure (dimension-sized); cover construction runs on the executors.
+    The only driver-side collect is the geometry strings (dimension-sized),
+    shipped to executors as ONE Spark broadcast variable — not re-pickled
+    per task; cover construction runs on the executors.
     """
     cover = polygon_cover_df(polygons, z, poly_id=poly_id,
                              geometry_json=geometry_json)
     geoms = {r[poly_id]: _geom_rings(json.loads(r[geometry_json]))
              for r in polygons.select(poly_id, geometry_json).collect()}
+    geoms_bc = points.sparkSession.sparkContext.broadcast(geoms)
 
     enc = encode_points(points, z, lon=lon, lat=lat, with_quadkey=False)
     cand = enc.join(F.broadcast(cover), ["x", "y"])
-    pip_udf = _make_pip_udf(geoms)
+    pip_udf = _make_pip_udf(geoms_bc)
     return (
         cand.where(pip_udf(F.col(lon), F.col(lat), F.col(poly_id), F.col("full")))
         .drop("x", "y", "zoom", "full")
