@@ -218,3 +218,21 @@ def test_pip_refine_geometry_ships_as_broadcast(spark):
     bc = spark.sparkContext.broadcast(
         {1: [[[(0.0, 0.0), (1.0, 0.0), (1.0, 1.0), (0.0, 1.0)]]]})
     assert sj._make_pip_udf(bc) is not None
+
+
+def test_knn_cells_unpersist_releases_cache(spark):
+    from vt_grid_spark.operators.knn import knn_cells, unpersist_knn
+    from vt_grid_spark.sources import pages
+
+    pts = pages.with_coords(pages.pages_df(spark, 500))
+    queries = spark.createDataFrame(
+        [(1, -74.0, 40.7), (2, 10.1, 50.3)], "qid long, lon double, lat double")
+    out = knn_cells(pts, queries, 5, z=5, ring=1)
+    out.collect()
+    frames = getattr(out, "_knn_persisted", [])
+    assert frames, "top-level knn_cells must expose its persisted frames"
+    assert all(f.storageLevel.useMemory or f.storageLevel.useDisk
+               for f in frames)
+    unpersist_knn(out, blocking=True)
+    assert all(not (f.storageLevel.useMemory or f.storageLevel.useDisk)
+               for f in frames)

@@ -165,7 +165,10 @@ class HexIndex(CellIndex):
 
     @staticmethod
     def qr(cell: Column) -> tuple[Column, Column]:
-        q = (cell / F.lit(1 << 32)).cast("long") - F.lit(_OFF)
+        # exact integer bit math (shiftright, not double division — the
+        # double path can carry a rounding of r's high bits into q near
+        # |q+_OFF| ~ 2^31), matching hex_cell_np's (ids >> 32) exactly
+        q = F.shiftright(cell, 32) - F.lit(_OFF)
         r = F.pmod(cell, F.lit(1 << 32)).cast("long") - F.lit(_OFF)
         return q, r
 

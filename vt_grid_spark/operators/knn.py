@@ -99,10 +99,22 @@ def _ring_boundary_d2(z: int, ring: int):
     return b * b
 
 
+def unpersist_knn(df: DataFrame, blocking: bool = False) -> None:
+    """Release the cached escalation-seam frames a top-level
+    :func:`knn_cells` call pinned.  Call AFTER the result is materialized
+    (collected / written) — in a long-lived session repeated knn_cells
+    calls would otherwise accumulate cached blocks until the block
+    manager evicts them."""
+    for f in getattr(df, "_knn_persisted", []):
+        f.unpersist(blocking)
+
+
 def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
               ring: int = 1, point_id: str = "url", query_id: str = "qid",
               broadcast_threshold: int = 100_000,
-              rering_steps: int = 1) -> DataFrame:
+              rering_steps: int = 1,
+              _small_q: bool | None = None,
+              _persisted: list | None = None) -> DataFrame:
     """Cell-bucketed EXACT kNN: ring candidates + safety-radius-verified
     top-k, bounded re-ring escalation, brute-force only for the residue.
 
@@ -118,7 +130,15 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     doubled-plus-one ring before the final brute-force pass — the
     escalation set shrinks geometrically, so brute force only ever sees a
     vanishing residue.
+
+    NOTE: the size gate runs an EAGER Spark job at plan-construction time
+    (``limit(threshold+1).count()`` — O(threshold) rows scanned); if
+    ``queries`` is an expensive derived DataFrame, cache it first.  The
+    probe runs ONCE — re-ring recursion inherits the decision instead of
+    re-probing each level.  The result pins the per-level escalation-seam
+    caches; release them after materializing with :func:`unpersist_knn`.
     """
+    track: list = [] if _persisted is None else _persisted
     n_tiles = 1 << z
     enc_p = encode_points(points, z, with_quadkey=False)
 
@@ -145,10 +165,14 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     )
 
     # size gate: limit(n+1).count() stops scanning past the threshold, so
-    # the probe is O(threshold) regardless of |Q|
-    small_q = (broadcast_threshold > 0 and
-               queries.limit(broadcast_threshold + 1).count()
-               <= broadcast_threshold)
+    # the probe is O(threshold) regardless of |Q|; probed once at the top
+    # level only (recursion receives the decision via _small_q)
+    if _small_q is None:
+        small_q = (broadcast_threshold > 0 and
+                   queries.limit(broadcast_threshold + 1).count()
+                   <= broadcast_threshold)
+    else:
+        small_q = _small_q
     cells_j = F.broadcast(cells) if small_q else cells.hint("shuffle_hash")
 
     cand = enc_p.join(cells_j, ["x", "y"]).withColumn(
@@ -176,8 +200,10 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     # anti-join; without it each escalation level re-evaluates the whole
     # scan+join+window subtree of every level above it (~2x per level).
     # Size is bounded by the operator's own output (|Q| * k rows),
-    # distributed, spills to disk — never driver-resident.
+    # distributed, spills to disk — never driver-resident.  The handle is
+    # tracked so unpersist_knn can release it post-materialization.
     proven = proven.persist()
+    track.append(proven)
 
     # escalate the rest (includes queries with an empty ring, which never
     # reach topk): widen the ring rering_steps times, then brute force the
@@ -191,8 +217,12 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
         rest = knn_cells(points, esc_q, k, z=z, ring=2 * ring + 1,
                          point_id=point_id, query_id=query_id,
                          broadcast_threshold=broadcast_threshold,
-                         rering_steps=rering_steps - 1)
+                         rering_steps=rering_steps - 1,
+                         _small_q=small_q, _persisted=track)
     else:
         rest = knn_bruteforce(points, esc_q, k,
                               point_id=point_id, query_id=query_id)
-    return proven.unionByName(rest)
+    out = proven.unionByName(rest)
+    if _persisted is None:  # top level: expose handles for unpersist_knn
+        out._knn_persisted = track
+    return out
