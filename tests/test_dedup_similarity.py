@@ -357,3 +357,37 @@ def test_hot_bucket_cap_bounds_band_join_flood(spark):
     ids2 = {(r.id_a, r.id_b) for r in out2}
     assert (100_001, 100_002) in ids2
     assert all(a >= 100_000 and b >= 100_000 for a, b in ids2)
+
+
+def test_ngram_prefix_filter_exact_and_reduces_postings(spark):
+    """Prefix-filtered ngram_jaccard_pairs must equal the brute posting
+    join exactly, while its posting-join input (prefix rows) is strictly
+    smaller — in particular a corpus-wide hot shingle present in every doc
+    must fall out of the prefixes."""
+    from vt_grid_spark.operators.dedup import (ngram_jaccard_pairs,
+                                               ngram_prefix_postings,
+                                               shingles_col)
+
+    # every text shares the hot trigram source "zqx" via the suffix
+    texts = [
+        (1, "alpha beta gamma zqx"),
+        (2, "alpha beta gamma zqx!"),
+        (3, "delta epsilon eta zqx"),
+        (4, "delta epsilon eta zqx?"),
+        (5, "totally different words zqx"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    brute = {(r.id_a, r.id_b, r.jac) for r in ngram_jaccard_pairs(
+        docs, threshold=0.5, prefix_filter=False).collect()}
+    fast = {(r.id_a, r.id_b, r.jac) for r in ngram_jaccard_pairs(
+        docs, threshold=0.5, prefix_filter=True).collect()}
+    assert fast == brute and brute  # identical, non-empty
+
+    all_rows = docs.select(
+        F.explode(shingles_col("text")).alias("sh")).count()
+    pref = ngram_prefix_postings(docs, threshold=0.5)
+    pref_rows = pref.count()
+    assert pref_rows < all_rows
+    # the universal shingle "zqx" (df = 5 = all docs) is in no prefix
+    assert pref.where(F.col("sh") == "zqx").count() == 0

@@ -304,29 +304,97 @@ def simhash_dup_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def ngram_prefix_postings(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", threshold: float = 0.5,
+                          k: int = 3) -> DataFrame:
+    """Prefix postings for the exact set-similarity join (All-Pairs /
+    PPJoin prefix filtering; Bayardo et al. WWW'07, Chaudhuri et al.
+    ICDE'06): shingles are globally ordered by (document frequency,
+    shingle); doc X keeps only its first ``|X| - ceil(t*|X|) + 1``
+    shingles in that order.  Any pair with Jaccard >= t shares at least
+    one shingle inside BOTH prefixes (|A∩B| >= ceil(t*|A|) and symmetric,
+    so the common elements cannot all hide in either suffix) — joining
+    prefixes only is therefore LOSSLESS for the >= t output, while the
+    corpus-wide hot shingle (a boilerplate n-gram occurring in every doc)
+    sorts LAST and falls out of the prefixes, removing the quadratic
+    hot-posting term from the self-join."""
+    from pyspark.sql import Window
+
+    sh = df.select(
+        F.col(id_col), F.explode(shingles_col(text_col, k)).alias("sh"))
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("_df"))
+    w_id = Window.partitionBy(id_col)
+    ranked = (
+        sh.join(dfreq.hint("shuffle_hash"), "sh")
+        .withColumn("_sz", F.count(F.lit(1)).over(w_id))
+        .withColumn("_rn", F.row_number().over(
+            w_id.orderBy(F.col("_df").asc(), F.col("sh").asc())))
+    )
+    plen = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    return ranked.where(F.col("_rn") <= plen).select(id_col, "sh")
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", threshold: float = 0.5,
-                        k: int = 3) -> DataFrame:
-    """Exact all-pairs n-gram Jaccard via inverted shingle index (posting
-    lists) — the no-LSH baseline: explode shingles, self-join postings,
-    count shared shingles per pair, Jaccard from |A|+|B|-shared."""
+                        k: int = 3, prefix_filter: bool = True) -> DataFrame:
+    """Exact all-pairs n-gram Jaccard — the no-LSH baseline.
+
+    ``prefix_filter=True`` (default): candidates come from a self-join of
+    the PREFIX postings (:func:`ngram_prefix_postings` — lossless for
+    Jaccard >= threshold), then exact Jaccard over the full shingle sets
+    refines; output is IDENTICAL to the brute posting join while the
+    join input drops the corpus-wide hot shingles.
+    ``prefix_filter=False``: the brute inverted-index join (count shared
+    shingles per pair) — kept as the ground-truth twin for tests."""
     sh = df.select(
         F.col(id_col), F.explode(shingles_col(text_col, k)).alias("sh")
     )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = sh.withColumnRenamed(id_col, "id_a")
-    b = sh.withColumnRenamed(id_col, "id_b")
-    shared = (
-        a.join(b, "sh")
+    if not prefix_filter:
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+        a = sh.withColumnRenamed(id_col, "id_a")
+        b = sh.withColumnRenamed(id_col, "id_b")
+        shared = (
+            a.join(b, "sh")
+            .where(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("shared"))
+        )
+        out = (
+            shared.join(sizes.withColumnRenamed(id_col, "id_a")
+                        .withColumnRenamed("sz", "sz_a"), "id_a")
+            .join(sizes.withColumnRenamed(id_col, "id_b")
+                  .withColumnRenamed("sz", "sz_b"), "id_b")
+            .withColumn("jac", F.round(
+                F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6))
+            .where(F.col("jac") >= threshold)
+        )
+        return out.select("id_a", "id_b", "jac")
+
+    pref = ngram_prefix_postings(df, text_col, id_col, threshold, k)
+    a = pref.withColumnRenamed(id_col, "id_a")
+    b = pref.withColumnRenamed(id_col, "id_b")
+    cand = (
+        a.join(b.hint("shuffle_hash"), "sh")
         .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    out = (
-        shared.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn("jac", F.round(
-            F.col("shared") / (F.col("sz_a") + F.col("sz_b") - F.col("shared")), 6))
+    # exact refine over the full shingle arrays, candidates only (the
+    # minhash_dup_pairs shape: semi-join reduction, shuffle-hash on ids)
+    arrs = df.select(F.col(id_col), shingles_col(text_col, k).alias("_sh"))
+    ids = cand.select(F.col("id_a").alias(id_col)).unionByName(
+        cand.select(F.col("id_b").alias(id_col))).distinct()
+    arrs = arrs.join(ids, id_col, "left_semi")
+    joined = (
+        cand.join(arrs.withColumnRenamed("_sh", "_sha")
+                  .withColumnRenamed(id_col, "id_a").hint("shuffle_hash"), "id_a")
+        .join(arrs.withColumnRenamed("_sh", "_shb")
+              .withColumnRenamed(id_col, "id_b").hint("shuffle_hash"), "id_b")
+    )
+    shared = F.size(F.array_intersect("_sha", "_shb"))
+    denom = F.size("_sha") + F.size("_shb") - shared
+    return (
+        joined.withColumn("jac", F.round(shared / denom, 6))
         .where(F.col("jac") >= threshold)
+        .select("id_a", "id_b", "jac")
     )
-    return out.select("id_a", "id_b", "jac")
