@@ -150,6 +150,23 @@ class CatalogTableIO(TableIO):
     rides the same table format; with the default session catalog it
     degrades to managed parquet tables.  The pandas fast-path pair routes
     through Spark (a catalog has no local files to short-circuit to).
+
+    Upgrading the seam to real Iceberg (no code change, session config
+    only — the exact spark-submit flags; pick the runtime artifact that
+    matches your Spark minor version):
+
+        --packages org.apache.iceberg:iceberg-spark-runtime-4.0_2.13:1.10.0
+        --conf spark.sql.extensions=org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions
+        --conf spark.sql.catalog.vtg=org.apache.iceberg.spark.SparkCatalog
+        --conf spark.sql.catalog.vtg.type=hadoop        # or hive / rest
+        --conf spark.sql.catalog.vtg.warehouse=s3://bucket/warehouse
+
+    then ``CatalogTableIO(spark, namespace="vtg.vt_grid",
+    format="iceberg")`` — level replaces become atomic snapshot commits
+    and the manifest journal rides Iceberg's own snapshot lineage.  The
+    contract test (tests/test_pyramid.py::test_catalog_tableio_contract)
+    runs the identical code path against the session catalog's V2 writer
+    on every `pytest tests/` run — no jar, no skip.
     """
 
     def __init__(self, spark: SparkSession, namespace: str = "vt_grid",
