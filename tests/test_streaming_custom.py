@@ -284,3 +284,66 @@ def test_streaming_dedup_equals_batch(spark, tmp_path):
     assert len(want) == 200           # every original, no replay
     assert all(d < 1_000_000 for d, _ in want)
     assert got == want
+
+
+def test_streaming_dedup_file_source_kill_restart(spark, tmp_path):
+    """Abrupt mid-stream kill + restart over a rate-limited FILE source
+    (maxFilesPerTrigger=1): query 1 is stopped while source files remain
+    unprocessed; query 2 resumes from the same checkpoint and the file
+    sink's committed union equals the batch first-arrival dedup exactly —
+    no lost originals, no duplicated rows (offset log + state checkpoint
+    + file-sink metadata give exactly-once across the kill)."""
+    import time
+
+    from vt_grid_spark.streaming.dedup import dedup_batch, dedup_stream
+
+    base = (spark.read.parquet(f"{SF}/documents.parquet")
+            .where(F.col("doc_id") < 200)
+            .select("doc_id", "text",
+                    F.timestamp_seconds(1700000000 + F.col("doc_id")).alias("ts")))
+    src, ckpt, out = (str(tmp_path / p) for p in ("src", "ckpt", "out"))
+
+    # 5 source files: file i holds original group i plus replays (new ids,
+    # same text, later ts) of every EARLIER group — originals always land
+    # in an earlier file than their replays, so first-arrival == earliest-ts
+    all_rows = []
+    for i in range(5):
+        part = base.where(F.col("doc_id") % 5 == i)
+        if i > 0:
+            replays = base.where(F.col("doc_id") % 5 < i).select(
+                (F.col("doc_id") + 1_000_000 * i).alias("doc_id"), "text",
+                (F.col("ts") + F.expr(f"INTERVAL {i} MINUTES")).alias("ts"))
+            part = part.unionByName(replays)
+        part.coalesce(1).write.mode("append" if i else "error").parquet(src)
+        all_rows.append(part)
+        time.sleep(0.6)  # distinct mtimes -> stable file order
+
+    def reader():
+        return (spark.readStream.schema(base.schema)
+                .option("maxFilesPerTrigger", 1).parquet(src))
+
+    def sink(df):
+        return (df.writeStream.outputMode("append").format("parquet")
+                .option("path", out).option("checkpointLocation", ckpt))
+
+    # run 1: continuous microbatches, killed after ~2 progress reports
+    q = sink(dedup_stream(reader(), horizon="1 hour")).start()
+    deadline = time.time() + 120
+    while time.time() < deadline and len(q.recentProgress) < 2:
+        time.sleep(0.2)
+    q.stop()
+    q.awaitTermination(60)
+
+    # run 2: resume from the checkpoint, drain the remaining files
+    q2 = sink(dedup_stream(reader(), horizon="1 hour")) \
+        .trigger(availableNow=True).start()
+    q2.awaitTermination(180)
+
+    everything = all_rows[0]
+    for p in all_rows[1:]:
+        everything = everything.unionByName(p)
+    got = {(r.doc_id, r.fp) for r in spark.read.parquet(out).collect()}
+    want = {(r.doc_id, r.fp) for r in dedup_batch(everything).collect()}
+    assert len(want) == 200
+    assert all(d < 1_000_000 for d, _ in want)
+    assert got == want
