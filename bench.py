@@ -120,6 +120,38 @@ def main():
         queries[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
 
+    # --- scale-path kNN: |Q| above the broadcast gate --------------------------
+    # 200k jittered queries (non-hot tail — the 20%-in-one-cell cluster
+    # would make ring candidates quadratic at z8, a different benchmark)
+    # force the shuffle-hash candidate join + re-ring escalation; the
+    # registered knn_top10 query only ever exercises the broadcast path.
+    from vt_grid_spark.operators.knn import knn_cells, unpersist_knn
+
+    knn_pts = pts.select("url", "lon", "lat")
+    knn_q = (knn_pts
+             .where(~((F.col("lat").between(40.4, 41.0))
+                      & (F.col("lon").between(-74.6, -73.4))))
+             .select(F.xxhash64("url").alias("qid"),
+                     (F.col("lon") + 0.01).alias("lon"),
+                     (F.col("lat") + 0.005).alias("lat"))
+             .limit(200_000).cache())
+    knn_q.count()  # materialize outside the timed section
+    # zoom scaled to corpus density (~6 uniform points per cell, the z8
+    # operating point measured at sf0.1); broadcast_threshold forced low
+    # so the shuffle-hash + re-ring path runs at EVERY sf (the small-|Q|
+    # broadcast path skips re-ring and would fall through to an
+    # |unproven| x |P| brute join on sparse corpora)
+    import math
+    knn_z = max(4, round(0.5 * math.log2(max(0.8 * n, 12) / 6)))
+    t0 = time.perf_counter()
+    knn_out = knn_cells(knn_pts, knn_q, 5, z=knn_z, ring=1,
+                        broadcast_threshold=10_000)
+    knn_out.write.format("noop").mode("overwrite").save()
+    queries["knn_cells_200k_shufflehash"] = round(time.perf_counter() - t0, 3)
+    unpersist_knn(knn_out)
+    knn_q.unpersist()
+    spark.catalog.clearCache()
+
     print(json.dumps({
         "metric": "full_pyramid_build_wall",
         "value": round(wall, 3),
