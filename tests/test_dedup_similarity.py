@@ -391,3 +391,27 @@ def test_ngram_prefix_filter_exact_and_reduces_postings(spark):
     assert pref_rows < all_rows
     # the universal shingle "zqx" (df = 5 = all docs) is in no prefix
     assert pref.where(F.col("sh") == "zqx").count() == 0
+
+
+def test_dedup_clusters_transitive_chain(spark):
+    """A~B, B~C (A and C never paired) must land in ONE cluster with the
+    min id as representative; disjoint components stay separate; a long
+    chain converges within max_iter rounds of hash-min propagation."""
+    from vt_grid_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3),                 # chain -> cluster rep 1
+         (10, 11),                       # separate component -> rep 10
+         (20, 21), (21, 22), (20, 22)],  # triangle -> rep 20
+        "id_a long, id_b long")
+    got = {(r.doc_id, r.cluster_rep)
+           for r in dedup_clusters(pairs).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1),
+                   (10, 10), (11, 10),
+                   (20, 20), (21, 20), (22, 20)}
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(12)],
+                                  "id_a long, id_b long")
+    labels = {r.doc_id: r.cluster_rep
+              for r in dedup_clusters(chain, max_iter=15).collect()}
+    assert set(labels.values()) == {0} and len(labels) == 13

@@ -217,6 +217,54 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
     )
 
 
+def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
+                   max_iter: int = 20) -> DataFrame:
+    """Connected components over a near-dup pair graph -> (doc_id,
+    cluster_rep): the step a real dedup pipeline runs AFTER pair
+    generation, so "keep one doc per near-dup CLUSTER" is one groupBy on
+    cluster_rep (pairs alone under-dedup transitive chains A~B~C).
+
+    Hash-min label propagation: every node starts as its own label; each
+    round takes the min of its own and its neighbors' labels; converges in
+    O(graph diameter) rounds — near-dup clusters are dense, so diameters
+    are tiny in practice (adversarial long chains are bounded by
+    ``max_iter`` and raise rather than silently under-merge).  Each round
+    is ONE shuffle-hash join (labels into edges) + one aggregation, both
+    on node-id keys; ``localCheckpoint`` truncates the growing lineage so
+    round N doesn't re-execute rounds 1..N-1.  The driver-side loop holds
+    only a per-round changed-row COUNT, never data.  (The O(log n)
+    large-star/small-star variant [Kiveris et al., SoCC'14] is the
+    upgrade path if diameters ever matter.)"""
+    edges = (pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+             .unionByName(pairs.select(F.col(id_b).alias("src"),
+                                       F.col(id_a).alias("dst")))
+             .distinct().localCheckpoint())
+    labels = (edges.select(F.col("src").alias("id")).distinct()
+              .withColumn("label", F.col("id")).localCheckpoint())
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(labels.select(F.col("id").alias("dst"),
+                                     F.col("label").alias("_dl"))
+                       .hint("shuffle_hash"), "dst")
+            .groupBy("src").agg(F.min("_dl").alias("_nmin")))
+        new_labels = (
+            labels.join(nbr_min.withColumnRenamed("src", "id")
+                        .hint("shuffle_hash"), "id", "left")
+            .select("id", F.least("label", F.coalesce("_nmin", "label"))
+                    .alias("label"))
+            .localCheckpoint())
+        changed = (new_labels.alias("n").join(labels.alias("o"), "id")
+                   .where(F.col("n.label") != F.col("o.label")).count())
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("id").alias("doc_id"),
+                                 F.col("label").alias("cluster_rep"))
+    raise RuntimeError(
+        f"dedup_clusters did not converge in {max_iter} rounds — the pair "
+        "graph has a path longer than max_iter; raise max_iter (or switch "
+        "to the large-star/small-star O(log n) variant)")
+
+
 def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
               k: int = 3) -> DataFrame:
     """True 64-bit SimHash over character k-grams: bit j of the signature

@@ -90,10 +90,9 @@ _SIG_MATCHES = " + ".join(
     f"(CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END)" for i in range(16))
 
 # min_matches mirrors the engine: floor((0.7 - 0.25) * 16) = 7
-@register(
-    "minhash_dup_pairs",
-    f"""
-WITH {_SIGS_CTE},
+# minhash near-dup pair CTE chain, shared by the pair query and the
+# cluster (connected-components) query built on top of it
+_MH_PAIRS_CTES = f"""{_SIGS_CTE},
 bands AS ({_BANDS_ORACLE}),
 cand0 AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -107,14 +106,20 @@ cand AS (
 ),
 sh AS (SELECT doc_id,
        list_distinct(list_transform({_SH_SQL}, s -> ('0x' || substr(md5(s), 1, 8))::BIGINT)) AS sh
-       FROM documents)
-SELECT id_a, id_b,
-       ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
-             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
-FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
-WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
-            (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.7
-""",
+       FROM documents),
+mh_pairs AS (
+  SELECT id_a, id_b,
+         ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+               (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
+  FROM cand JOIN sh a ON a.doc_id = id_a JOIN sh b ON b.doc_id = id_b
+  WHERE ROUND(len(list_intersect(a.sh, b.sh))::DOUBLE /
+              (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.7
+)"""
+
+
+@register(
+    "minhash_dup_pairs",
+    f"WITH {_MH_PAIRS_CTES}\nSELECT id_a, id_b, jac FROM mh_pairs",
 )
 def minhash_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # max_bucket far above any natural sf bucket: output unchanged, but the
@@ -122,6 +127,37 @@ def minhash_dup_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # on the driver's correctness run
     return minhash_dup_pairs(_docs(spark, sf_dir), threshold=0.7,
                              max_bucket=10_000)
+
+
+@register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE {_MH_PAIRS_CTES},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM mh_pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+FROM reach GROUP BY src
+""",
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment — connected components (hash-min label
+    propagation, dedup.py::dedup_clusters) over the minhash near-dup pair
+    graph, so keep-one-per-cluster dedup is a single groupBy downstream
+    (pairs alone under-dedup transitive chains A~B~C).  Oracle: DuckDB
+    recursive-CTE transitive closure + min reachable id."""
+    from vt_grid_spark.operators.dedup import dedup_clusters
+
+    pairs = minhash_dup_pairs(_docs(spark, sf_dir), threshold=0.7,
+                              max_bucket=10_000)
+    return dedup_clusters(pairs)
 
 
 @register(
@@ -310,43 +346,6 @@ _GOPHER_PASS = (
 )
 
 
-@register(
-    "text_quality",
-    f"""
-WITH {_GOPHER_CTE}
-SELECT doc_id,
-  CAST(n_chars_q AS BIGINT) AS n_chars_q,
-  CAST(len(toks) AS BIGINT) AS n_tokens,
-  CAST(len(ws0) AS BIGINT) AS n_ws_tokens,
-  CAST({_EN_HITS.replace('ws,', 'ws0,')} AS BIGINT) AS stop_hits,
-  ROUND(len(list_filter(toks, x -> regexp_full_match(x, '[^A-Za-z0-9]')))::DOUBLE / len(toks), 6) AS punct_ratio,
-  ROUND(LEAST(1.0, len(ws0) / 50.0) * 0.5
-      + LEAST(1.0, {_EN_HITS.replace('ws,', 'ws0,')} / 5.0) * 0.3
-      + (1.0 - LEAST(1.0, ROUND(len(list_filter(toks, x -> regexp_full_match(x, '[^A-Za-z0-9]')))::DOUBLE / len(toks), 6) * 5.0)) * 0.2, 6) AS quality_score,
-  n_words, mean_word_len, alpha_word_frac, symbol_word_ratio,
-  bullet_line_frac, ellipsis_line_frac, dup_line_frac, gopher_stop_hits,
-  n_sentences, has_brace, has_lorem, terminal_line_frac,
-  {_GOPHER_PASS} AS gopher_pass,
-  (n_sentences >= 3 AND NOT has_brace AND NOT has_lorem) AS c4_pass
-FROM m
-""",
-)
-def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Length/punct/stopword heuristics + the Gopher/C4 rule set
-    (Rae et al. 2021 A1.1; Raffel et al. 2020 2.2) as pure column
-    expressions — the quality gate a real training-data pipeline runs."""
-    from vt_grid_spark.operators.textops import with_gopher_quality, with_quality
-
-    out = with_gopher_quality(with_quality(_docs(spark, sf_dir)))
-    return out.select(
-        "doc_id", "n_chars_q", "n_tokens", "n_ws_tokens", "stop_hits",
-        "punct_ratio", "quality_score", "n_words", "mean_word_len",
-        "alpha_word_frac", "symbol_word_ratio", "bullet_line_frac",
-        "ellipsis_line_frac", "dup_line_frac", "gopher_stop_hits",
-        "n_sentences", "has_brace", "has_lorem", "terminal_line_frac",
-        "gopher_pass", "c4_pass")
-
-
 _LANG_HITS_SQL = ",\n    ".join(
     f"CAST(len(list_filter(ws, x -> list_contains({_sw_sql(lang)}, x))) AS BIGINT)"
     f" AS hits_{lang}"
@@ -363,33 +362,55 @@ _LANG_CASE = "CASE " + " ".join(
 
 
 @register(
-    "lang_id",
+    "text_quality",
     rf"""
-WITH t AS (
-  SELECT doc_id,
-         list_filter(list_transform(string_split_regex(trim(text), '\s+'),
-                                    x -> lower(x)), x -> x <> '') AS ws
-  FROM documents
-),
-h AS (
+WITH {_GOPHER_CTE},
+lh AS (
   SELECT doc_id,
     {_LANG_HITS_SQL}
-  FROM t
+  FROM (SELECT doc_id,
+               list_filter(list_transform(string_split_regex(trim(text), '\s+'),
+                                          x -> lower(x)), x -> x <> '') AS ws
+        FROM documents)
 )
-SELECT doc_id, {", ".join(f"hits_{lang}" for lang in _LANGS)},
+SELECT m.doc_id,
+  CAST(n_chars_q AS BIGINT) AS n_chars_q,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  CAST(len(ws0) AS BIGINT) AS n_ws_tokens,
+  CAST({_EN_HITS.replace('ws,', 'ws0,')} AS BIGINT) AS stop_hits,
+  ROUND(len(list_filter(toks, x -> regexp_full_match(x, '[^A-Za-z0-9]')))::DOUBLE / len(toks), 6) AS punct_ratio,
+  ROUND(LEAST(1.0, len(ws0) / 50.0) * 0.5
+      + LEAST(1.0, {_EN_HITS.replace('ws,', 'ws0,')} / 5.0) * 0.3
+      + (1.0 - LEAST(1.0, ROUND(len(list_filter(toks, x -> regexp_full_match(x, '[^A-Za-z0-9]')))::DOUBLE / len(toks), 6) * 5.0)) * 0.2, 6) AS quality_score,
+  n_words, mean_word_len, alpha_word_frac, symbol_word_ratio,
+  bullet_line_frac, ellipsis_line_frac, dup_line_frac, gopher_stop_hits,
+  n_sentences, has_brace, has_lorem, terminal_line_frac,
+  {_GOPHER_PASS} AS gopher_pass,
+  (n_sentences >= 3 AND NOT has_brace AND NOT has_lorem) AS c4_pass,
+  {", ".join(f"hits_{lang}" for lang in _LANGS)},
   {_LANG_CASE} AS lang_pred
-FROM h
+FROM m JOIN lh ON lh.doc_id = m.doc_id
 """,
 )
-def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """20-stopword x 5-language hit-count argmax (lowercased tokens),
-    fixed priority tie-break — toy-free enough to be a real prefilter,
-    still bit-identical across engines."""
-    from vt_grid_spark.operators.textops import with_lang_id
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc text-analysis profile on ONE oracle surface: length/punct/
+    stopword heuristics + the Gopher/C4 rule set (Rae et al. 2021 A1.1;
+    Raffel et al. 2020 2.2) + the 20-stopword x 5-language argmax
+    language ID (consolidated from the separate lang_id query — the
+    driver records at most 50 rows), all pure column expressions — the
+    quality/language gate a real training-data pipeline runs."""
+    from vt_grid_spark.operators.textops import (with_gopher_quality,
+                                                 with_lang_id, with_quality)
 
-    out = with_lang_id(_docs(spark, sf_dir))
-    return out.select("doc_id", *[f"hits_{lang}" for lang in STOPWORDS],
-                      "lang_pred")
+    out = with_lang_id(with_gopher_quality(with_quality(_docs(spark, sf_dir))))
+    return out.select(
+        "doc_id", "n_chars_q", "n_tokens", "n_ws_tokens", "stop_hits",
+        "punct_ratio", "quality_score", "n_words", "mean_word_len",
+        "alpha_word_frac", "symbol_word_ratio", "bullet_line_frac",
+        "ellipsis_line_frac", "dup_line_frac", "gopher_stop_hits",
+        "n_sentences", "has_brace", "has_lorem", "terminal_line_frac",
+        "gopher_pass", "c4_pass",
+        *[f"hits_{lang}" for lang in STOPWORDS], "lang_pred")
 
 
 _WIN_POWS = [pow(257, 4 - j, 2_147_483_647) for j in range(5)]
