@@ -195,3 +195,31 @@ def test_hex_bin_stays_jvm_side(spark):
     assert "EvalPython" not in p  # no BatchEvalPython / ArrowEvalPython
     assert p.count("Exchange") == 1
     assert "partial_count" in p
+
+
+def test_dedup_clusters_round_no_broadcast(spark):
+    """One label-propagation round: the corpus-sized labels table reaches
+    the edge join by SHUFFLE, never broadcast (labels are per-node at
+    10^12-doc scale), and the round is one join + one hash aggregate."""
+    from pyspark.sql import functions as F
+
+    edges = spark.range(1000).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst"))
+    labels = edges.select(F.col("src").alias("id")).distinct() \
+        .withColumn("label", F.col("id"))
+    nbr_min = (edges.join(labels.select(F.col("id").alias("dst"),
+                                        F.col("label").alias("_dl"))
+                          .hint("shuffle_hash"), "dst")
+               .groupBy("src").agg(F.min("_dl").alias("_nmin")))
+    p = plan_str(nbr_min, "simple")
+    assert "BroadcastExchange" not in p and "BroadcastHashJoin" not in p
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p
+
+
+def test_ngram_prefix_join_no_broadcast(spark):
+    from vt_grid_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = ngram_jaccard_pairs(docs, threshold=0.7, prefix_filter=True)
+    p = plan_str(out, "simple")
+    assert "BroadcastExchange" not in p and "BroadcastHashJoin" not in p
