@@ -415,3 +415,34 @@ def test_dedup_clusters_transitive_chain(spark):
     labels = {r.doc_id: r.cluster_rep
               for r in dedup_clusters(chain, max_iter=15).collect()}
     assert set(labels.values()) == {0} and len(labels) == 13
+
+
+def test_dedup_clusters_star_equals_hashmin_and_beats_diameter(spark):
+    """The large-star/small-star CC (default) must agree with the
+    independently-implemented hash-min propagation on a random graph, and
+    must converge on a 300-node chain within rounds where hash-min's
+    O(diameter) propagation cannot (it raises past max_iter=20)."""
+    import random
+
+    import pytest
+
+    from vt_grid_spark.operators.dedup import dedup_clusters
+
+    rng = random.Random(42)
+    pairs = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    star = {(r.doc_id, r.cluster_rep)
+            for r in dedup_clusters(df, algorithm="star").collect()}
+    hm = {(r.doc_id, r.cluster_rep)
+          for r in dedup_clusters(df, algorithm="hashmin").collect()}
+    assert star == hm and star
+
+    chain = spark.createDataFrame([(i, i + 1) for i in range(300)],
+                                  "id_a long, id_b long")
+    labels = {r.doc_id: r.cluster_rep
+              for r in dedup_clusters(chain, max_iter=20,
+                                      algorithm="star").collect()}
+    assert set(labels.values()) == {0} and len(labels) == 301
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(chain, max_iter=20, algorithm="hashmin").collect()
