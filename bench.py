@@ -143,6 +143,16 @@ def main():
     # |unproven| x |P| brute join on sparse corpora)
     import math
     knn_z = max(4, round(0.5 * math.log2(max(0.8 * n, 12) / 6)))
+    # codegen warm at tiny scale, mirroring the per-query warm protocol
+    warm_pts = pages.with_coords(pages.pages_df(spark, 5_000)) \
+        .select("url", "lon", "lat")
+    warm_q = warm_pts.select(F.xxhash64("url").alias("qid"), "lon", "lat") \
+        .limit(2_000)
+    warm_out = knn_cells(warm_pts, warm_q, 5, z=5, ring=1,
+                         broadcast_threshold=100, rering_min_queries=100)
+    warm_out.write.format("noop").mode("overwrite").save()
+    unpersist_knn(warm_out)
+    spark.catalog.clearCache()
     t0 = time.perf_counter()
     knn_out = knn_cells(knn_pts, knn_q, 5, z=knn_z, ring=1,
                         broadcast_threshold=10_000)
