@@ -290,9 +290,14 @@ def test_streaming_dedup_file_source_kill_restart(spark, tmp_path):
     """Abrupt mid-stream kill + restart over a rate-limited FILE source
     (maxFilesPerTrigger=1): query 1 is stopped while source files remain
     unprocessed; query 2 resumes from the same checkpoint and the file
-    sink's committed union equals the batch first-arrival dedup exactly —
-    no lost originals, no duplicated rows (offset log + state checkpoint
-    + file-sink metadata give exactly-once across the kill)."""
+    sink's committed union must hold EXACTLY ONE survivor per fingerprint
+    — none lost, none duplicated across the kill (offset log + state
+    checkpoint + file-sink metadata give exactly-once).  WHICH holder of
+    a fingerprint survives is deliberately not asserted: FileStreamSource
+    does not contractually order batches by file write order, so
+    first-arrival identity across source files is nondeterministic
+    (observed: a later-written replay file processed before an earlier
+    original's file)."""
     import time
 
     from vt_grid_spark.streaming.dedup import dedup_batch, dedup_stream
@@ -342,8 +347,15 @@ def test_streaming_dedup_file_source_kill_restart(spark, tmp_path):
     everything = all_rows[0]
     for p in all_rows[1:]:
         everything = everything.unionByName(p)
-    got = {(r.doc_id, r.fp) for r in spark.read.parquet(out).collect()}
-    want = {(r.doc_id, r.fp) for r in dedup_batch(everything).collect()}
-    assert len(want) == 200
-    assert all(d < 1_000_000 for d, _ in want)
-    assert got == want
+    got = [(r.doc_id, r.fp) for r in spark.read.parquet(out).collect()]
+    # legitimate holders of each fingerprint (original + its replays)
+    from vt_grid_spark.streaming.dedup import _with_fp
+    holders = {}
+    for r in _with_fp(everything, "text").select("doc_id", "fp").collect():
+        holders.setdefault(r.fp, set()).add(r.doc_id)
+    want_fps = {r.fp for r in dedup_batch(everything).collect()}
+    assert len(want_fps) == 200
+    got_fps = [fp for _, fp in got]
+    assert len(got_fps) == len(set(got_fps)) == 200  # exactly-once per fp
+    assert set(got_fps) == want_fps                  # none lost
+    assert all(d in holders[fp] for d, fp in got)    # every survivor real
