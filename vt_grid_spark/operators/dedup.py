@@ -276,13 +276,15 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
 
     fp = fingerprint(edges)
     for _ in range(max_iter):
-        # large-star: larger neighbors re-point at the minimum
+        # large-star: larger neighbors re-point at the minimum (kept lazy
+        # — one eager materialization per FULL round is enough lineage
+        # truncation, and each localCheckpoint is a whole extra job)
         m = _min_nbr(edges)
         large = (edges.join(m.hint("shuffle_hash"), "u")
                  .where(F.col("v") > F.col("u"))
                  .select(F.col("v").alias("u"), F.col("m").alias("v"))
                  .unionByName(m.select("u", F.col("m").alias("v"))))
-        edges = _sym_edges(large).localCheckpoint()
+        edges = _sym_edges(large)
         # small-star: smaller-or-equal neighbors re-point at the minimum
         m = _min_nbr(edges)
         small = (edges.join(m.hint("shuffle_hash"), "u")
