@@ -128,14 +128,16 @@ def main():
     from vt_grid_spark.operators.knn import knn_cells, unpersist_knn
 
     knn_pts = pts.select("url", "lon", "lat")
+    # localCheckpoint, not cache(): the warm section's clearCache() would
+    # evict a catalog cache and the timed run would silently regenerate
+    # the limit() subset per subtree — nondeterministic AND mis-timed
     knn_q = (knn_pts
              .where(~((F.col("lat").between(40.4, 41.0))
                       & (F.col("lon").between(-74.6, -73.4))))
              .select(F.xxhash64("url").alias("qid"),
                      (F.col("lon") + 0.01).alias("lon"),
                      (F.col("lat") + 0.005).alias("lat"))
-             .limit(200_000).cache())
-    knn_q.count()  # materialize outside the timed section
+             .limit(200_000).localCheckpoint())  # eager, outside the timing
     # zoom scaled to corpus density (~6 uniform points per cell, the z8
     # operating point measured at sf0.1); broadcast_threshold forced low
     # so the shuffle-hash + re-ring path runs at EVERY sf (the small-|Q|
@@ -159,7 +161,6 @@ def main():
     knn_out.write.format("noop").mode("overwrite").save()
     queries["knn_cells_200k_shufflehash"] = round(time.perf_counter() - t0, 3)
     unpersist_knn(knn_out)
-    knn_q.unpersist()
     spark.catalog.clearCache()
 
     print(json.dumps({

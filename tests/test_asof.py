@@ -88,3 +88,19 @@ def test_asof_left_column_collision_raises(spark):
         F.timestamp_seconds(F.col("id")).alias("ts"))
     with pytest.raises(ValueError, match="collide"):
         asof_join(left, right, key="user_id", right_cols=["event_id"])
+
+
+def test_asof_right_ts_in_right_cols_raises(spark):
+    import pytest
+
+    left = spark.range(3).select(
+        F.col("id").alias("user_id"),
+        F.timestamp_seconds(F.col("id")).alias("ts"))
+    right = spark.range(3).select(
+        F.col("id").alias("user_id"), F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.col("id")).alias("ts"))
+    with pytest.raises(ValueError, match="right timestamp"):
+        asof_join(left, right, key="user_id", right_cols=["event_id", "ts"])
+    with pytest.raises(ValueError, match="__rts"):
+        asof_join(left, right.withColumnRenamed("event_id", "__rts"),
+                  key="user_id", right_cols=["__rts"])

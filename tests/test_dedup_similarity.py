@@ -438,6 +438,15 @@ def test_dedup_clusters_star_equals_hashmin_and_beats_diameter(spark):
           for r in dedup_clusters(df, algorithm="hashmin").collect()}
     assert star == hm and star
 
+    # a doc whose only pair is a SELF-pair must still get a label (itself)
+    # from both algorithms — dropping it would silently remove the doc
+    # from a downstream keep-one-per-cluster decision
+    selfp = spark.createDataFrame([(5, 5), (1, 2)], "id_a long, id_b long")
+    for algo in ("star", "hashmin"):
+        got = {(r.doc_id, r.cluster_rep)
+               for r in dedup_clusters(selfp, algorithm=algo).collect()}
+        assert got == {(1, 1), (2, 1), (5, 5)}, (algo, got)
+
     chain = spark.createDataFrame([(i, i + 1) for i in range(300)],
                                   "id_a long, id_b long")
     labels = {r.doc_id: r.cluster_rep

@@ -52,6 +52,15 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
             f"asof_join internal/output column names {sorted(clash)} "
             "collide with left columns — rename them on the left side or "
             "pass a different prefix")
+    if right_ts in rcols:
+        raise ValueError(
+            f"right_cols must not contain the right timestamp column "
+            f"{right_ts!r} — it is always carried as {prefix}{right_ts} "
+            "and listing it too would emit a duplicate output column")
+    if "__rts" in rcols:
+        raise ValueError(
+            "right_cols must not contain '__rts' — reserved for the "
+            "carried right-timestamp struct field")
 
     # 1. deterministic right side: one row per (key, ts), max tiebreaker;
     # the whole matched row rides in ONE struct (field __rts = right ts),

@@ -262,10 +262,13 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     if algorithm != "star":
         raise ValueError(f"unknown algorithm {algorithm!r}")
 
-    edges = _sym_edges(
-        pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
-    ).localCheckpoint()
-    nodes = edges.select("u").distinct().localCheckpoint()
+    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    edges = _sym_edges(raw).localCheckpoint()
+    # nodes come from the RAW pairs, not the loop-free edge set: a doc
+    # whose only pair is a self-pair (id_a == id_b) must still receive a
+    # cluster label (itself), matching the hashmin twin
+    nodes = (raw.select("u").unionByName(raw.select(F.col("v").alias("u")))
+             .distinct().localCheckpoint())
 
     def fingerprint(e: DataFrame):
         # XOR-fold of per-edge hashes: order-independent set fingerprint,
@@ -303,6 +306,22 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
         f"dedup_clusters(star) did not converge in {max_iter} rounds")
 
 
+def _hashmin_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation round — module-level so the no-broadcast
+    plan gate (tests/test_physical_plans.py) exercises the operator's
+    actual join, not a hand-built copy."""
+    nbr_min = (
+        edges.join(labels.select(F.col("id").alias("dst"),
+                                 F.col("label").alias("_dl"))
+                   .hint("shuffle_hash"), "dst")
+        .groupBy("src").agg(F.min("_dl").alias("_nmin")))
+    return (
+        labels.join(nbr_min.withColumnRenamed("src", "id")
+                    .hint("shuffle_hash"), "id", "left")
+        .select("id", F.least("label", F.coalesce("_nmin", "label"))
+                .alias("label")))
+
+
 def _dedup_clusters_hashmin(pairs: DataFrame, id_a: str, id_b: str,
                             max_iter: int) -> DataFrame:
     """Min-label propagation twin of :func:`dedup_clusters` — converges in
@@ -315,17 +334,7 @@ def _dedup_clusters_hashmin(pairs: DataFrame, id_a: str, id_b: str,
     labels = (edges.select(F.col("src").alias("id")).distinct()
               .withColumn("label", F.col("id")).localCheckpoint())
     for _ in range(max_iter):
-        nbr_min = (
-            edges.join(labels.select(F.col("id").alias("dst"),
-                                     F.col("label").alias("_dl"))
-                       .hint("shuffle_hash"), "dst")
-            .groupBy("src").agg(F.min("_dl").alias("_nmin")))
-        new_labels = (
-            labels.join(nbr_min.withColumnRenamed("src", "id")
-                        .hint("shuffle_hash"), "id", "left")
-            .select("id", F.least("label", F.coalesce("_nmin", "label"))
-                    .alias("label"))
-            .localCheckpoint())
+        new_labels = _hashmin_round(edges, labels).localCheckpoint()
         changed = (new_labels.alias("n").join(labels.alias("o"), "id")
                    .where(F.col("n.label") != F.col("o.label")).count())
         labels = new_labels
@@ -451,7 +460,12 @@ def ngram_prefix_postings(df: DataFrame, text_col: str = "text",
         .withColumn("_rn", F.row_number().over(
             w_id.orderBy(F.col("_df").asc(), F.col("sh").asc())))
     )
-    plen = F.col("_sz") - F.ceil(F.lit(threshold) * F.col("_sz")) + 1
+    # epsilon-nudged ceil: the double product t*sz can round a hair ABOVE
+    # an exact integer (0.07*100 -> 7.000000000000001 -> ceil 8), which
+    # would shorten the prefix and break losslessness.  Under-approximating
+    # ceil is always SAFE here (a longer prefix only adds candidates).
+    plen = (F.col("_sz")
+            - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9)) + 1)
     return ranked.where(F.col("_rn") <= plen).select(id_col, "sh")
 
 

@@ -180,7 +180,21 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame, z: int = 9,
     enc = encode_points(points, z, lon=lon, lat=lat, with_quadkey=False)
     cand = enc.join(F.broadcast(cover), ["x", "y"])
     pip_udf = _make_pip_udf(geoms_bc)
-    return (
+    out = (
         cand.where(pip_udf(F.col(lon), F.col(lat), F.col(poly_id), F.col("full")))
         .drop("x", "y", "zoom", "full")
     )
+    # expose the handle so long-lived sessions can release the broadcast
+    # after materializing (unpersist_pip) — same hygiene as unpersist_knn
+    out._pip_broadcast = geoms_bc
+    return out
+
+
+def unpersist_pip(df: DataFrame, blocking: bool = False) -> None:
+    """Release the geometry broadcast a :func:`point_in_polygon_join`
+    call shipped.  Call AFTER the result is materialized — repeated joins
+    in a long-lived session would otherwise accumulate one
+    executor-resident broadcast per call."""
+    bc = getattr(df, "_pip_broadcast", None)
+    if bc is not None:
+        bc.unpersist(blocking)
