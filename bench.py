@@ -120,6 +120,11 @@ def main():
         queries[name] = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
 
+    # PIP queries ship one geometry broadcast each; release them so the
+    # kNN section below measures the engine, not accumulated blocks
+    from vt_grid_spark.operators.spatial_join import release_pip_broadcasts
+    release_pip_broadcasts()
+
     # --- scale-path kNN: |Q| above the broadcast gate --------------------------
     # 200k jittered queries (non-hot tail — the 20%-in-one-cell cluster
     # would make ring candidates quadratic at z8, a different benchmark)
@@ -146,14 +151,19 @@ def main():
     import math
     knn_z = max(4, round(0.5 * math.log2(max(0.8 * n, 12) / 6)))
     # codegen warm at tiny scale, mirroring the per-query warm protocol
-    warm_pts = pages.with_coords(pages.pages_df(spark, 5_000)) \
-        .select("url", "lon", "lat")
-    warm_q = warm_pts.select(F.xxhash64("url").alias("qid"), "lon", "lat") \
-        .limit(2_000)
-    warm_out = knn_cells(warm_pts, warm_q, 5, z=5, ring=1,
-                         broadcast_threshold=100, rering_min_queries=100)
-    warm_out.write.format("noop").mode("overwrite").save()
-    unpersist_knn(warm_out)
+    # (same try/except discipline: a warm-only failure must not kill the
+    # bench after the multi-minute headline was already measured)
+    try:
+        warm_pts = pages.with_coords(pages.pages_df(spark, 5_000)) \
+            .select("url", "lon", "lat")
+        warm_q = warm_pts.select(F.xxhash64("url").alias("qid"), "lon", "lat") \
+            .limit(2_000)
+        warm_out = knn_cells(warm_pts, warm_q, 5, z=5, ring=1,
+                             broadcast_threshold=100)
+        warm_out.write.format("noop").mode("overwrite").save()
+        unpersist_knn(warm_out)
+    except Exception:
+        pass  # warm-up only; the timed run below surfaces real failures
     spark.catalog.clearCache()
     t0 = time.perf_counter()
     knn_out = knn_cells(knn_pts, knn_q, 5, z=knn_z, ring=1,

@@ -277,24 +277,29 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                     F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
         return row.n, row.h
 
+    def star_half(e: DataFrame, larger: bool) -> DataFrame:
+        """One star half-round: re-point the strictly-larger (large-star)
+        or smaller-or-equal (small-star) neighbors of every node at its
+        minimum neighbor; both halves also emit the (u, min) star edge
+        itself (always intra-component — connectivity is preserved, never
+        invented).  The strict-vs-inclusive comparison IS the algorithm's
+        convergence-critical asymmetry."""
+        m = _min_nbr(e)
+        cond = (F.col("v") > F.col("u")) if larger else (F.col("v") <= F.col("u"))
+        return _sym_edges(
+            e.join(m.hint("shuffle_hash"), "u").where(cond)
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(m.select("u", F.col("m").alias("v"))))
+
     fp = fingerprint(edges)
     for _ in range(max_iter):
-        # large-star: larger neighbors re-point at the minimum (kept lazy
-        # — one eager materialization per FULL round is enough lineage
-        # truncation, and each localCheckpoint is a whole extra job)
-        m = _min_nbr(edges)
-        large = (edges.join(m.hint("shuffle_hash"), "u")
-                 .where(F.col("v") > F.col("u"))
-                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                 .unionByName(m.select("u", F.col("m").alias("v"))))
-        edges = _sym_edges(large)
-        # small-star: smaller-or-equal neighbors re-point at the minimum
-        m = _min_nbr(edges)
-        small = (edges.join(m.hint("shuffle_hash"), "u")
-                 .where(F.col("v") <= F.col("u"))
-                 .select(F.col("v").alias("u"), F.col("m").alias("v"))
-                 .unionByName(m.select("u", F.col("m").alias("v"))))
-        edges = _sym_edges(small).localCheckpoint()
+        # large-star half stays lazy — ONE eager materialization per full
+        # round truncates lineage, and each localCheckpoint is a whole
+        # extra job.  Superseded rounds' checkpoint blocks are reclaimed
+        # by the ContextCleaner once the rebound `edges` drops the only
+        # reference, so residency stays ~O(|E|), not O(rounds * |E|).
+        edges = star_half(star_half(edges, larger=True),
+                          larger=False).localCheckpoint()
         new_fp = fingerprint(edges)
         if new_fp == fp:
             labels = _min_nbr(edges)

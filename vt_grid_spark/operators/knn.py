@@ -113,8 +113,7 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
               ring: int = 1, point_id: str = "url", query_id: str = "qid",
               broadcast_threshold: int = 100_000,
               rering_steps: int = 2,
-              rering_min_queries: int = 1024,
-              _small_q: tuple | None = None,
+              _small_q: bool | None = None,
               _persisted: list | None = None) -> DataFrame:
     """Cell-bucketed EXACT kNN: ring candidates + safety-radius-verified
     top-k, bounded re-ring escalation, brute-force only for the residue.
@@ -135,19 +134,23 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     |residue| x |P| brute cross-join cost ~100 s; the second re-ring
     (ring=7, trivially cheap candidates) collapses it — 127 s -> 29 s warm.
 
-    Re-ring is skipped entirely when |Q| <= ``rering_min_queries``: each
-    re-ring level costs one more scan of the point table, which only pays
-    off when the avoided brute join (|residue| x |P| rows through a
-    window) is the bigger term — at tiny |Q| the brute pass is bounded by
-    |Q| x |P| rows and one scan, so extra levels are pure overhead
-    (measured at |Q|=4: 3-level plan 8.5 s vs 2-scan plan ~4 s).
+    Escalation is ADAPTIVE: each level counts its actual unproven residue
+    (an O(level-output) job against the already-persisted seam — the
+    level would have been materialized by the final action anyway).
+    Residue 0 returns immediately — no wider ring, no brute scan (the
+    common dense-corpus tiny-|Q| case: measured |Q|=4 at sf0.1, the
+    3-blind-level plan cost 8.5 s vs ~4 s with the early exit).  A
+    non-empty residue ALWAYS re-rings while steps remain — a brute pass
+    windows |residue| x |P| rows (one giant sorted partition per query),
+    which a wider-ring scan beats at any corpus size (measured 350 s
+    brute-first vs 18 s re-ring-first at a 37.5k-query sparse case, and
+    127 s -> 29 s from the second re-ring level at 200k x 500k).
 
-    NOTE: the size gate runs an EAGER Spark job at plan-construction time
-    (``limit(threshold+1).count()`` — O(threshold) rows scanned); if
-    ``queries`` is an expensive derived DataFrame, cache it first.  The
-    probe runs ONCE — re-ring recursion inherits the decision instead of
-    re-probing each level.  The result pins the per-level escalation-seam
-    caches; release them after materializing with :func:`unpersist_knn`.
+    NOTE: this operator runs EAGER jobs at call time (the broadcast-size
+    probe's ``limit(n+1).count()``, and one residue count per escalation
+    level); if ``queries`` is an expensive derived DataFrame, cache it
+    first.  The result pins the per-level escalation-seam caches;
+    release them after materializing with :func:`unpersist_knn`.
     """
     track: list = [] if _persisted is None else _persisted
     n_tiles = 1 << z
@@ -177,14 +180,13 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
 
     # size gate: limit(n+1).count() stops scanning past the threshold, so
     # the probe is O(threshold) regardless of |Q|; probed once at the top
-    # level only (recursion receives both decisions via _small_q)
+    # level only (recursion receives the decision via _small_q)
     if _small_q is None:
-        cap = max(broadcast_threshold, rering_min_queries)
-        nq = queries.limit(cap + 1).count()
-        small_q = broadcast_threshold > 0 and nq <= broadcast_threshold
-        tiny_q = nq <= rering_min_queries
+        small_q = (broadcast_threshold > 0 and
+                   queries.limit(broadcast_threshold + 1).count()
+                   <= broadcast_threshold)
     else:
-        small_q, tiny_q = _small_q
+        small_q = _small_q
     cells_j = F.broadcast(cells) if small_q else cells.hint("shuffle_hash")
 
     cand = enc_p.join(cells_j, ["x", "y"]).withColumn(
@@ -218,26 +220,28 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     track.append(proven)
 
     # escalate the rest (includes queries with an empty ring, which never
-    # reach topk): widen the ring rering_steps times, then brute force the
-    # residue over the full point set — still one DAG.  Re-ring runs on
-    # BOTH join paths whenever |Q| > rering_min_queries: on a sparse
-    # corpus the unproven residue can be a large fraction of |Q| even when
-    # |Q| is under the broadcast gate, and the |residue| x |P| brute join
-    # dwarfs a wider-ring pass (measured at 37.5k queries x 50k points:
-    # brute-first 350 s vs re-ring-first 18 s); at tiny |Q| the extra
-    # point-table scans per level cost more than the small brute pass.
+    # reach topk).  ADAPTIVE: counting esc_q materializes this level into
+    # the persisted seam (work the final action needed anyway) and tells
+    # us the true residue — 0 means DONE (skip both the wider ring and
+    # the brute scan of P); >0 always prefers a wider ring while steps
+    # remain, because the brute fallback windows |residue| x |P| rows in
+    # one sorted partition per query (measured: 350 s brute-first vs 18 s
+    # re-ring-first at a 37.5k-query sparse case).
     esc_q = queries.join(
         proven.select(query_id).distinct(), query_id, "left_anti")
-    if rering_steps > 0 and not tiny_q:
+    n_esc = esc_q.count()
+    if n_esc == 0:
+        rest = None
+    elif rering_steps > 0:
         rest = knn_cells(points, esc_q, k, z=z, ring=2 * ring + 1,
                          point_id=point_id, query_id=query_id,
                          broadcast_threshold=broadcast_threshold,
                          rering_steps=rering_steps - 1,
-                         _small_q=(small_q, tiny_q), _persisted=track)
+                         _small_q=small_q, _persisted=track)
     else:
         rest = knn_bruteforce(points, esc_q, k,
                               point_id=point_id, query_id=query_id)
-    out = proven.unionByName(rest)
+    out = proven if rest is None else proven.unionByName(rest)
     if _persisted is None:  # top level: expose handles for unpersist_knn
         out._knn_persisted = track
     return out

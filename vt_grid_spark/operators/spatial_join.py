@@ -185,16 +185,39 @@ def point_in_polygon_join(points: DataFrame, polygons: DataFrame, z: int = 9,
         .drop("x", "y", "zoom", "full")
     )
     # expose the handle so long-lived sessions can release the broadcast
-    # after materializing (unpersist_pip) — same hygiene as unpersist_knn
+    # after materializing — per-result attribute AND a module registry
+    # (the attribute is lost the moment a caller applies another
+    # transformation, so release_pip_broadcasts is the reliable surface)
     out._pip_broadcast = geoms_bc
+    _PIP_BROADCASTS.append(geoms_bc)
     return out
 
 
+_PIP_BROADCASTS: list = []
+
+
+def release_pip_broadcasts(blocking: bool = False) -> int:
+    """Release EVERY geometry broadcast issued by
+    :func:`point_in_polygon_join` in this session (call after the results
+    are materialized — repeated joins in a long-lived session would
+    otherwise accumulate one executor-resident broadcast per call).
+    Returns the number released."""
+    n = len(_PIP_BROADCASTS)
+    for bc in _PIP_BROADCASTS:
+        bc.unpersist(blocking)
+    _PIP_BROADCASTS.clear()
+    return n
+
+
 def unpersist_pip(df: DataFrame, blocking: bool = False) -> None:
-    """Release the geometry broadcast a :func:`point_in_polygon_join`
-    call shipped.  Call AFTER the result is materialized — repeated joins
-    in a long-lived session would otherwise accumulate one
-    executor-resident broadcast per call."""
+    """Release the geometry broadcast of ONE join result.  Only works on
+    the DataFrame returned by :func:`point_in_polygon_join` itself — any
+    further transformation returns a new DataFrame without the handle
+    (use :func:`release_pip_broadcasts` there)."""
     bc = getattr(df, "_pip_broadcast", None)
     if bc is not None:
         bc.unpersist(blocking)
+        try:
+            _PIP_BROADCASTS.remove(bc)
+        except ValueError:
+            pass
