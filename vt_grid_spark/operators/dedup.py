@@ -262,7 +262,12 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     if algorithm != "star":
         raise ValueError(f"unknown algorithm {algorithm!r}")
 
-    raw = pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v"))
+    # checkpoint the raw pair projection ONCE: both the edge set and the
+    # node set derive from it, and `pairs` is typically an expensive
+    # upstream pipeline (the minhash candidate generation costs ~11 s at
+    # sf0.1 — deriving nodes straight from `pairs` re-ran all of it)
+    raw = pairs.select(F.col(id_a).alias("u"),
+                       F.col(id_b).alias("v")).localCheckpoint()
     edges = _sym_edges(raw).localCheckpoint()
     # nodes come from the RAW pairs, not the loop-free edge set: a doc
     # whose only pair is a self-pair (id_a == id_b) must still receive a
