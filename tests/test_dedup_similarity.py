@@ -417,6 +417,36 @@ def test_dedup_clusters_transitive_chain(spark):
     assert set(labels.values()) == {0} and len(labels) == 13
 
 
+def test_dedup_clusters_star_one_job_per_round(spark):
+    """The convergence fingerprint must ride the localCheckpoint
+    materialization via observe — ONE Spark job per star round, not a
+    checkpoint job plus a separate fingerprint collect (VERDICT r4 #3).
+    Audited with a job group + statusTracker; AQE is disabled for the
+    audit so actions and jobs stay 1:1."""
+    from vt_grid_spark.operators.dedup import dedup_clusters
+
+    sc = spark.sparkContext
+    chain = spark.createDataFrame([(i, i + 1) for i in range(40)],
+                                  "id_a long, id_b long")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup("cc-job-audit", "star CC one-job-per-round audit")
+    try:
+        stats = {}
+        out = dedup_clusters(chain, algorithm="star", stats=stats)
+        n_rows = out.count()
+        jobs = sc.statusTracker().getJobIdsForGroup("cc-job-audit")
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    assert n_rows == 41
+    rounds = stats["rounds"]
+    assert rounds >= 2  # a 40-chain takes several star rounds
+    # 3 setup jobs (raw ckpt, edges ckpt+observed fp, nodes ckpt)
+    # + 1 job per round (ckpt+observed fp) + the final count() action
+    assert len(jobs) == 3 + rounds + 1, (sorted(jobs), rounds)
+
+
 def test_dedup_clusters_star_equals_hashmin_and_beats_diameter(spark):
     """The large-star/small-star CC (default) must agree with the
     independently-implemented hash-min propagation on a random graph, and

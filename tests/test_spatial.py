@@ -95,6 +95,35 @@ def test_knn_cells_escalates_on_safety_radius(spark):
     assert cells[0][2] == "out0"
 
 
+def test_knn_cells_ring_wider_than_world(spark):
+    """When 2*ring+1 > n_tiles (reachable via the 1->3->7 re-ring
+    recursion at small z), pmod x-wrapping must NOT emit the same cell
+    from several dx offsets — a duplicated candidate would occupy several
+    top-k ranks and corrupt the exact answer (ADVICE r4 #1)."""
+    pts = pages.with_coords(pages.pages_df(spark, 200))
+    queries = spark.createDataFrame(
+        [(1, -74.0, 40.7), (2, 170.0, -35.0), (3, 1.0, 0.5)],
+        "qid long, lon double, lat double")
+    k = 4
+    # z=2 -> n_tiles=4; ring=3 gives 2*ring+1=7 > 4 (the wrap regime)
+    cells = knn_cells(pts, queries, k, z=2, ring=3, rering_steps=0)
+    rows = cells.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.qid, []).append(r.url)
+    for qid, urls in per_q.items():
+        assert len(urls) == len(set(urls)), f"duplicate neighbor for {qid}"
+    brute = sorted((r.qid, r.rank, r.url)
+                   for r in knn_bruteforce(pts, queries, k).collect())
+    got = sorted((r.qid, r.rank, r.url) for r in rows)
+    assert got == brute
+    # also drive the wrap through the recursion itself: start ring=1 at
+    # z=2 with rering_steps=2 so escalation crosses the wrap threshold
+    rec = knn_cells(pts, queries, k, z=2, ring=1, rering_steps=2)
+    got_rec = sorted((r.qid, r.rank, r.url) for r in rec.collect())
+    assert got_rec == brute
+
+
 def test_knn_cells_distributed_queries(spark):
     """Query side is a DataFrame pipeline (no driver materialization):
     knn_cells must consume it without collect()."""

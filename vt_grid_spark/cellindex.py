@@ -80,8 +80,13 @@ class QuadkeyIndex(CellIndex):
         return self._pack(vf.tile_x(lon, self.z), vf.tile_y(lat, self.z), self.z)
 
     def xy(self, cell: Column) -> tuple[Column, Column]:
-        n = F.lit(1 << self.z)
-        return (cell / n).cast("long"), F.pmod(cell, n).cast("long")
+        # exact integer bit math: cell = x*2^z + y packs losslessly for
+        # z <= 31 per axis, but (cell / n) goes through DOUBLE division
+        # and silently drops low bits once cell > 2^53 (z >= 27) —
+        # shiftright keeps the decode exact at every zoom, mirroring the
+        # same fix in HexIndex.qr.
+        return (F.shiftright(cell, self.z),
+                F.pmod(cell, F.lit(1 << self.z)).cast("long"))
 
     def parent(self, cell: Column) -> Column:
         x, y = self.xy(cell)

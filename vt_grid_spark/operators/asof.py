@@ -42,6 +42,12 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     ``tiebreaker`` (default: first right_col) dedupes equal timestamps."""
     rcols = right_cols or [c for c in right.columns
                            if c not in (key, right_ts)]
+    if not rcols:
+        raise ValueError(
+            "asof_join needs at least one right value column to carry: "
+            "right_cols is empty (or the right side has only the key and "
+            "timestamp columns) — pass right_cols explicitly or add a "
+            "value column to the right DataFrame")
     tb = tiebreaker or rcols[0]
     carried = [f"{prefix}{c}" for c in rcols] + [f"{prefix}{right_ts}"]
 

@@ -233,7 +233,8 @@ def _min_nbr(edges: DataFrame) -> DataFrame:
 
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                    max_iter: int = 30,
-                   algorithm: str = "star") -> DataFrame:
+                   algorithm: str = "star",
+                   stats: dict | None = None) -> DataFrame:
     """Connected components over a near-dup pair graph -> (doc_id,
     cluster_rep): the step a real dedup pipeline runs AFTER pair
     generation, so "keep one doc per near-dup CLUSTER" is one groupBy on
@@ -256,11 +257,26 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
 
     Every per-round step is a shuffle-hash join / aggregation on node-id
     keys; ``localCheckpoint`` truncates lineage so round N doesn't
-    re-execute rounds 1..N-1.  The driver holds only per-round counts."""
+    re-execute rounds 1..N-1.  The driver holds only per-round counts.
+
+    ONE job per round: the convergence fingerprint is computed with
+    ``DataFrame.observe`` metrics collected DURING the localCheckpoint
+    materialization itself — no separate per-round fingerprint collect
+    (the r4 shape ran two driver-synchronized jobs per round).  The
+    fingerprint is (count, bit_xor(xxhash64(u,v)), bit_xor(xxhash64(v,u)))
+    — two independent XOR-folded hash lanes, so an (already astronomically
+    unlikely) single-lane collision between different edge sets cannot
+    silently terminate the loop early.
+
+    ``stats`` (optional dict) receives ``{"rounds": R}`` — the number of
+    full large+small star rounds materialized (used by the one-job-per-
+    round test and by bench instrumentation)."""
     if algorithm == "hashmin":
         return _dedup_clusters_hashmin(pairs, id_a, id_b, max_iter)
     if algorithm != "star":
         raise ValueError(f"unknown algorithm {algorithm!r}")
+
+    from pyspark.sql import Observation
 
     # checkpoint the raw pair projection ONCE: both the edge set and the
     # node set derive from it, and `pairs` is typically an expensive
@@ -268,19 +284,30 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     # sf0.1 — deriving nodes straight from `pairs` re-ran all of it)
     raw = pairs.select(F.col(id_a).alias("u"),
                        F.col(id_b).alias("v")).localCheckpoint()
-    edges = _sym_edges(raw).localCheckpoint()
+
+    def _fp_metrics():
+        # XOR-fold of per-edge hashes: order-independent set fingerprint,
+        # overflow-free under ANSI (a 64-bit sum would overflow); the
+        # second lane hashes the reversed field order for an independent
+        # 64 bits (collision probability ~2^-128 per comparison)
+        return (F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+                F.expr("bit_xor(xxhash64(v, u))").alias("h2"))
+
+    def _ckpt_fp(e: DataFrame):
+        """Materialize e with localCheckpoint, harvesting the fingerprint
+        from the SAME job via observe — one action, zero extra scans."""
+        obs = Observation()
+        ck = e.observe(obs, *_fp_metrics()).localCheckpoint()
+        got = obs.get
+        return ck, (got["n"], got["h"], got["h2"])
+
+    edges, fp = _ckpt_fp(_sym_edges(raw))
     # nodes come from the RAW pairs, not the loop-free edge set: a doc
     # whose only pair is a self-pair (id_a == id_b) must still receive a
     # cluster label (itself), matching the hashmin twin
     nodes = (raw.select("u").unionByName(raw.select(F.col("v").alias("u")))
              .distinct().localCheckpoint())
-
-    def fingerprint(e: DataFrame):
-        # XOR-fold of per-edge hashes: order-independent set fingerprint,
-        # overflow-free under ANSI (a 64-bit sum would overflow)
-        row = e.agg(F.count(F.lit(1)).alias("n"),
-                    F.expr("bit_xor(xxhash64(u, v))").alias("h")).collect()[0]
-        return row.n, row.h
 
     def star_half(e: DataFrame, larger: bool) -> DataFrame:
         """One star half-round: re-point the strictly-larger (large-star)
@@ -296,17 +323,18 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .unionByName(m.select("u", F.col("m").alias("v"))))
 
-    fp = fingerprint(edges)
-    for _ in range(max_iter):
+    for rnd in range(1, max_iter + 1):
         # large-star half stays lazy — ONE eager materialization per full
-        # round truncates lineage, and each localCheckpoint is a whole
-        # extra job.  Superseded rounds' checkpoint blocks are reclaimed
-        # by the ContextCleaner once the rebound `edges` drops the only
-        # reference, so residency stays ~O(|E|), not O(rounds * |E|).
-        edges = star_half(star_half(edges, larger=True),
-                          larger=False).localCheckpoint()
-        new_fp = fingerprint(edges)
+        # round truncates lineage AND yields the convergence fingerprint
+        # via observe (no second job).  Superseded rounds' checkpoint
+        # blocks are reclaimed by the ContextCleaner once the rebound
+        # `edges` drops the only reference, so residency stays ~O(|E|),
+        # not O(rounds * |E|).
+        edges, new_fp = _ckpt_fp(
+            star_half(star_half(edges, larger=True), larger=False))
         if new_fp == fp:
+            if stats is not None:
+                stats["rounds"] = rnd
             labels = _min_nbr(edges)
             return (nodes.join(labels.hint("shuffle_hash"), "u", "left")
                     .select(F.col("u").alias("doc_id"),

@@ -163,10 +163,20 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     ).withColumn("_bd2", _ring_boundary_d2(z, ring))
 
     # (query, ring-cell) candidate relation — explode over the (2r+1)^2
-    # neighbor offsets, x wrapping, y clamped (tilemath.neighbors semantics)
+    # neighbor offsets, x wrapping, y clamped (tilemath.neighbors semantics).
+    # When the ring spans MORE than the full x extent (reachable via the
+    # 1->3->7->15 re-ring recursion at small z), pmod would emit the same
+    # (query, x, y) cell from several dx offsets — duplicate candidates
+    # would then occupy several top-k ranks and inflate the _n >= k proof.
+    # Enumerate each wrapped x column exactly once instead (no distinct
+    # shuffle needed; the safety radius already reads +inf here).
+    if 2 * ring + 1 > n_tiles:
+        dxs = range(n_tiles)
+    else:
+        dxs = range(-ring, ring + 1)
     offsets = F.array(*[
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-        for dx in range(-ring, ring + 1) for dy in range(-ring, ring + 1)
+        for dx in dxs for dy in range(-ring, ring + 1)
     ])
     cells = (
         q.select("*", F.explode(offsets).alias("_o"))
