@@ -67,4 +67,50 @@ def test_cli_mbtiles_input_roundtrip(spark, tmp_path):
 def test_cli_rejects_js_modules(capsys):
     rc = main(["in.parquet", "-o", "out", "--aggregations", "custom.js"])
     assert rc == 2
-    assert "custom_reduce" in capsys.readouterr().err
+    assert "reducer-module" in capsys.readouterr().err
+
+
+def test_cli_reducer_module_build(spark, tmp_path):
+    """--reducer-module: a pyramid built through a user module file's
+    factory (the reference's worker-side module loading,
+    lib/aggregate.js:26-36, in Python form).  The module-level reducer
+    function is pickled BY REFERENCE, so this also proves the CLI ships
+    the file to the Python workers (addPyFile)."""
+    src = str(tmp_path / "pts.parquet")
+    (pages.with_coords(pages.pages_df(spark, 800))
+     .withColumn("chars", F.length("text").cast("double"))
+     .select("url", "lon", "lat", "chars").write.parquet(src))
+    n_pts = spark.read.parquet(src).count()
+
+    mod = tmp_path / "med_reducer.py"
+    mod.write_text(
+        "def reduce_median(pdf, tile):\n"
+        "    assert len(tile) == 3  # (z, x, y) mapper tile rides in\n"
+        "    return {'median_chars': float(pdf['chars'].median()),\n"
+        "            'n': int(len(pdf))}\n"
+        "\n"
+        "def factory():\n"
+        "    return {'reduce_fn': reduce_median,\n"
+        "            'result_schema': 'median_chars double, n long',\n"
+        "            'layer': 'pages'}\n")
+    out = str(tmp_path / "grid")
+
+    rc = main([src, "-o", out, "--basezoom", "6", "--minzoom", "5",
+               "--gridsize", "4", "--reducer-module", f"{mod}:factory",
+               "--quiet"])
+    assert rc == 0
+
+    # cell zooms 7, 6 (output 6, 5 at 2x2 grid); medians are re-reduced
+    # from raw per level, so every level's n must sum to the input size
+    for z in (7, 6):
+        m = json.load(open(f"{out}/_manifest/z{z}.json"))
+        assert m["status"] == "complete" and m["row_count"] > 0
+        assert m["lineage"]["op"] == "custom-reduce"
+        lvl = spark.read.parquet(f"{out}/zoom={z}")
+        assert lvl.agg(F.sum("n")).collect()[0][0] == n_pts
+        assert set(lvl.columns) >= {"x", "y", "quadkey", "median_chars", "n"}
+
+    # flag exclusivity: neither or both -> usage error
+    assert main([src, "-o", out, "--basezoom", "6"]) == 2
+    assert main([src, "-o", out, "--basezoom", "6", "--aggregations",
+                 "pages:count()", "--reducer-module", f"{mod}:factory"]) == 2

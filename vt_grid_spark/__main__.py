@@ -3,8 +3,10 @@
 
     python -m vt_grid_spark INPUT -o OUTPUT \
         [--minzoom 1] [--basezoom Z] [--gridsize 1024] [--jobs N] \
-        --aggregations 'layer:func(field)' [...] [--bbox W S E N] \
-        [--tiles z,x,y ...] [--resume] [--quiet] [--export-mbtiles K]
+        (--aggregations 'layer:func(field)' [...] |
+         --reducer-module pkg.mod:factory | path/to/mod.py:factory) \
+        [--bbox W S E N] [--tiles z,x,y ...] [--resume] [--quiet] \
+        [--export-mbtiles K]
 
 INPUT is a parquet/directory of points with (lon, lat, ...) columns, or an
 .mbtiles file (ingested through the true MVT decode path; point features
@@ -15,9 +17,10 @@ tile) and writes OUTPUT/grid.mbtiles, the reference's output artifact.
 
 Differences from the reference, by design (README "Migrating from
 vt-grid"): --jobs maps to local[N] Spark parallelism (on a cluster,
-spark-submit owns parallelism and --jobs is ignored); js module
-aggregations/postAggregations become Python callables on the library API
-(operators.custom_reduce) — a .js argument is rejected with that hint.
+spark-submit owns parallelism and --jobs is ignored); js reducer modules
+(lib/aggregate.js:26-36) become Python modules loaded with
+--reducer-module (import path or .py file path, ':factory' suffix) — a
+.js argument is rejected with that migration hint.
 """
 
 from __future__ import annotations
@@ -34,8 +37,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("input", help="points parquet path OR input .mbtiles")
     p.add_argument("-o", "--output", required=True,
                    help="output TableIO root directory")
-    p.add_argument("--aggregations", nargs="+", required=True,
+    p.add_argument("--aggregations", nargs="+", default=None,
                    help="'layer:func(field)' strings (reference bin/vt-grid:33)")
+    p.add_argument("--reducer-module", default=None, metavar="pkg.mod:factory",
+                   help="Python import path of a custom reducer factory — the "
+                        "reference's worker-side module loading "
+                        "(lib/aggregate.js:26-36) in Python form.  factory() "
+                        "returns {'reduce_fn': callable(pdf, tile)->dict, "
+                        "'result_schema': 'col type, ...', optional "
+                        "'strategy', 'layer'}.  On a cluster ship the module "
+                        "with spark-submit --py-files.  Mutually exclusive "
+                        "with --aggregations; every level re-reduces from the "
+                        "raw points (arbitrary reducers have no mergeable "
+                        "partials)")
     p.add_argument("--minzoom", type=int, default=1)
     p.add_argument("--basezoom", type=int, default=None,
                    help="base OUTPUT zoom; defaults to input maxzoom for "
@@ -60,11 +74,16 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
-    if any(a.endswith(".js") for a in args.aggregations):
+    if args.aggregations and any(a.endswith(".js") for a in args.aggregations):
         print("js aggregation modules are a Node surface; pass "
-              "'layer:func(field)' strings here and use Python callables "
-              "via operators.custom_reduce for custom reducers (README: "
-              "Migrating from vt-grid)", file=sys.stderr)
+              "'layer:func(field)' strings here, or port the module to "
+              "Python and load it with --reducer-module pkg.mod:factory "
+              "(README: Migrating from vt-grid; operators.custom_reduce)",
+              file=sys.stderr)
+        return 2
+    if bool(args.aggregations) == bool(args.reducer_module):
+        print("pass exactly one of --aggregations / --reducer-module",
+              file=sys.stderr)
         return 2
 
     from pyspark.sql import functions as F
@@ -75,14 +94,57 @@ def main(argv: list[str] | None = None) -> int:
     from vt_grid_spark.session import get_spark
     from vt_grid_spark.sources.table_io import TableIO
 
-    per_layer = parse_agg_strings(args.aggregations)
-    if len(per_layer) != 1:
-        print("one input layer per build (run one build per layer, same "
-              "output root)", file=sys.stderr)
-        return 2
-    layer, specs = next(iter(per_layer.items()))
+    reducer_spec = None
+    if args.reducer_module:
+        # importlib resolution on the driver; executors re-import by
+        # cloudpickle reference (same env in local mode, --py-files on a
+        # cluster) — the Python twin of the reference's per-worker
+        # require() (lib/aggregate.js:26-36)
+        import importlib
+
+        mod_path, _, attr = args.reducer_module.partition(":")
+        try:
+            if mod_path.endswith(".py"):
+                # file-path form — the closest UX to the reference's js
+                # module FILE argument; shipped to executors via
+                # addPyFile below so module-level reducer functions
+                # (pickled by reference) import on the workers too
+                import importlib.util
+                import os
+
+                name = os.path.splitext(os.path.basename(mod_path))[0]
+                spec = importlib.util.spec_from_file_location(name, mod_path)
+                module = importlib.util.module_from_spec(spec)
+                sys.modules[name] = module
+                spec.loader.exec_module(module)
+                factory = getattr(module, attr or "factory")
+            else:
+                factory = getattr(importlib.import_module(mod_path),
+                                  attr or "factory")
+        except (ImportError, AttributeError, FileNotFoundError) as exc:
+            print(f"--reducer-module {args.reducer_module!r}: {exc}",
+                  file=sys.stderr)
+            return 2
+        reducer_spec = factory()
+        missing = {"reduce_fn", "result_schema"} - set(reducer_spec)
+        if missing:
+            print(f"--reducer-module factory result lacks {sorted(missing)}",
+                  file=sys.stderr)
+            return 2
+        layer, specs = reducer_spec.get("layer", "cells"), []
+    else:
+        per_layer = parse_agg_strings(args.aggregations)
+        if len(per_layer) != 1:
+            print("one input layer per build (run one build per layer, same "
+                  "output root)", file=sys.stderr)
+            return 2
+        layer, specs = next(iter(per_layer.items()))
 
     spark = get_spark("vt-grid", cores=args.jobs)
+    if reducer_spec is not None and args.reducer_module.split(":")[0].endswith(".py"):
+        # ship the reducer module file to the Python workers (the .py form
+        # bypasses --py-files, so the CLI does the shipping itself)
+        spark.sparkContext.addPyFile(args.reducer_module.split(":")[0])
     if args.input.endswith(".mbtiles"):
         from vt_grid_spark.sources import mvt
 
@@ -111,18 +173,35 @@ def main(argv: list[str] | None = None) -> int:
         basezoom = args.basezoom
         pts = spark.read.parquet(args.input)
 
-    tiles = None
-    if args.tiles:
-        tiles = [tuple(int(v) for v in t.split(",")) for t in args.tiles]
-    plan = PyramidPlan(
-        bands=[ZoomBand(basezoom=basezoom, minzoom=args.minzoom,
-                        aggregations=specs)],
-        gridsize=args.gridsize,
-        bbox=tuple(args.bbox) if args.bbox else None,
-        tiles=tiles)
-
     io = TableIO(args.output)
-    manifests = build_pyramid(pts, plan, io, resume=args.resume)
+    if reducer_spec is not None:
+        if args.tiles:
+            print("--tiles is not supported with --reducer-module",
+                  file=sys.stderr)
+            return 2
+        from vt_grid_spark.operators.custom_reduce import build_custom_pyramid
+
+        if args.bbox:
+            w, s, e, n = args.bbox
+            pts = pts.where((F.col("lon") >= w) & (F.col("lon") <= e)
+                            & (F.col("lat") >= s) & (F.col("lat") <= n))
+        manifests = build_custom_pyramid(
+            pts, io, reducer_spec["reduce_fn"],
+            reducer_spec["result_schema"], basezoom=basezoom,
+            minzoom=args.minzoom, gridsize=args.gridsize,
+            strategy=reducer_spec.get("strategy", "batched"),
+            resume=args.resume)
+    else:
+        tiles = None
+        if args.tiles:
+            tiles = [tuple(int(v) for v in t.split(",")) for t in args.tiles]
+        plan = PyramidPlan(
+            bands=[ZoomBand(basezoom=basezoom, minzoom=args.minzoom,
+                            aggregations=specs)],
+            gridsize=args.gridsize,
+            bbox=tuple(args.bbox) if args.bbox else None,
+            tiles=tiles)
+        manifests = build_pyramid(pts, plan, io, resume=args.resume)
     if not args.quiet:
         for z in sorted(manifests, reverse=True):
             m = manifests[z]

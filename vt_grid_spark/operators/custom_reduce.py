@@ -89,3 +89,47 @@ def apply_custom_reducer(encoded: DataFrame, cell_z: int, mapper_z: int,
     parts = (encoded.repartition("x", "y")
              .sortWithinPartitions("x", "y"))
     return parts.mapInPandas(gen, schema=out_schema)
+
+
+def build_custom_pyramid(points: DataFrame, io, reduce_fn,
+                         result_schema: str, basezoom: int, minzoom: int,
+                         gridsize: int = 1024, strategy: str = "batched",
+                         resume: bool = False) -> dict:
+    """Full pyramid of custom-reduced cells — the CLI surface behind
+    ``--reducer-module`` (the reference loads user reducer modules per
+    worker, lib/aggregate.js:26-36; here the module's callable ships to
+    executors by cloudpickle / ``spark-submit --py-files``).
+
+    Every level re-reduces from the RAW encoded points rather than from
+    the previous level's cells: an arbitrary ``reduce_fn`` has no
+    mergeable partials, so a cell rollup would silently change semantics
+    (median-of-medians != median).  Algebraic reducers belong in
+    plans/aggspec where the rollup IS partial-merge.  Cost is L scans of
+    the input for L levels — the encode is closed-form bit math and the
+    scan is the cheap part of a custom-reduce level; levels are written
+    deepest-first so ``resume`` skips completed ones by manifest.
+
+    Returns {cell_zoom: manifest} like :func:`operators.pyramid.build_pyramid`.
+    """
+    from vt_grid_spark import functions as vf
+    from vt_grid_spark.operators.encode import encode_points
+    from vt_grid_spark.tilemath import grid_zoom
+
+    manifests: dict[int, dict] = {}
+    for output_z in range(basezoom, minzoom - 1, -1):
+        cell_z = grid_zoom(output_z, gridsize)
+        if resume and io.level_complete(cell_z):
+            manifests[cell_z] = io.read_manifest(cell_z)
+            continue
+        encoded = encode_points(points, cell_z, with_quadkey=False)
+        cells = apply_custom_reducer(encoded, cell_z, output_z, reduce_fn,
+                                     result_schema, strategy=strategy)
+        out = (cells.withColumn("zoom", F.lit(cell_z))
+               .withColumn("quadkey", vf.quadkey(F.col("x"), F.col("y"), cell_z)))
+        val_cols = [c for c in cells.columns if c not in ("x", "y")]
+        out = out.select("zoom", "x", "y", "quadkey", *val_cols)
+        manifests[cell_z] = io.write_level(
+            out, cell_z,
+            lineage={"input": "points", "op": "custom-reduce",
+                     "output_tile_zoom": output_z, "strategy": strategy})
+    return manifests

@@ -504,7 +504,38 @@ def ngram_prefix_postings(df: DataFrame, text_col: str = "text",
     # ceil is always SAFE here (a longer prefix only adds candidates).
     plen = (F.col("_sz")
             - F.ceil(F.lit(threshold) * F.col("_sz") - F.lit(1e-9)) + 1)
-    return ranked.where(F.col("_rn") <= plen).select(id_col, "sh")
+    # `_sz` (the doc's distinct-shingle count) rides along so the caller
+    # can apply the PPJoin length filter on the candidate join itself
+    return ranked.where(F.col("_rn") <= plen).select(id_col, "sh", "_sz")
+
+
+def ngram_candidate_pairs(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id", threshold: float = 0.5,
+                          k: int = 3, length_filter: bool = True) -> DataFrame:
+    """Candidate (id_a, id_b) pairs from the PPJoin prefix-posting
+    self-join, with the companion LENGTH filter applied ON the join
+    output before the dedup distinct: J(A,B) <= min(|A|,|B|)/max(|A|,|B|),
+    so J >= t requires min >= t*max — a dropped candidate can never reach
+    the threshold (lossless).  Sizes ride the postings (functionally
+    dependent on the id), so the filter is a row-local predicate between
+    the join and the distinct shuffle — skew-heavy prefix buckets shed
+    their cross-size pairs before they cost anything downstream.  The
+    epsilon nudge mirrors the prefix bound: under-approximating t*max
+    only ADMITS extra candidates, never loses a true pair.
+    ``length_filter=False`` keeps the unfiltered twin for the reduction
+    A/B in tests."""
+    pref = ngram_prefix_postings(df, text_col, id_col, threshold, k)
+    a = pref.select(F.col(id_col).alias("id_a"), "sh",
+                    F.col("_sz").alias("_sza"))
+    b = pref.select(F.col(id_col).alias("id_b"), "sh",
+                    F.col("_sz").alias("_szb"))
+    cand = (a.join(b.hint("shuffle_hash"), "sh")
+            .where(F.col("id_a") < F.col("id_b")))
+    if length_filter:
+        cand = cand.where(
+            F.least("_sza", "_szb")
+            >= F.lit(threshold) * F.greatest("_sza", "_szb") - F.lit(1e-9))
+    return cand.select("id_a", "id_b").distinct()
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
@@ -543,15 +574,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         )
         return out.select("id_a", "id_b", "jac")
 
-    pref = ngram_prefix_postings(df, text_col, id_col, threshold, k)
-    a = pref.withColumnRenamed(id_col, "id_a")
-    b = pref.withColumnRenamed(id_col, "id_b")
-    cand = (
-        a.join(b.hint("shuffle_hash"), "sh")
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
-    )
+    cand = ngram_candidate_pairs(df, text_col, id_col, threshold, k)
     # exact refine over the full shingle arrays, candidates only (the
     # minhash_dup_pairs shape: semi-join reduction, shuffle-hash on ids)
     arrs = df.select(F.col(id_col), shingles_col(text_col, k).alias("_sh"))
