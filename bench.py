@@ -103,22 +103,59 @@ def main():
               "neighbor contention; these numbers measure the box, not the "
               "engine. Re-run in a quiet window.", file=sys.stderr)
 
+    # --- per-query canary probes ---------------------------------------------
+    # BASELINE.md documents whole per-query runs discarded for INVISIBLE
+    # mid-run noise the headline-only probe cannot see (r3, r4).  A cheap
+    # fixed COMPUTE-BOUND job (chained xxhash64 over spark.range — no IO,
+    # no shuffle, 64 tasks) re-runs every ~10 queries; each query's JSON
+    # entry is stamped with the worse of its two bracketing probes, so a
+    # contaminated entry self-identifies against the run's own quietest
+    # probe (VERDICT r4 #6).  Compute-bound matters: hypervisor steal
+    # shows proportionally (quiet spread ~1.25x; a tiny scheduling-
+    # dominated probe read 1.7x spread and false-flagged half the run).
+    _CANARY_EXPR = "bit_xor(" + "xxhash64(" * 5 + "id" + ")" * 5 + ")"
+
+    def canary() -> float:
+        t0 = time.perf_counter()
+        spark.range(0, 512_000_000, 1, 64).selectExpr(_CANARY_EXPR).collect()
+        return round(time.perf_counter() - t0, 3)
+
+    canary(); canary()  # 2 warm reps: first pays codegen, second JIT tail
+    probe_walls = [canary()]
+
     # --- per-query timings (codegen warmed at sf0.001, timed at SF_DIR) -------
     # clearCache between runs: operators that cache intermediates (minhash
     # signatures) would otherwise pile 2x36 cached plans into the block
-    # manager and degrade late-running queries via eviction/GC churn
+    # manager and degrade late-running queries via eviction/GC churn.
+    # gc.collect() additionally drops the Python refs to superseded
+    # localCheckpoint RDDs (star-CC rounds, knn seams) so the
+    # ContextCleaner reclaims their blocks BEFORE the next timed query
+    # instead of mid-way through it.
+    import gc
+
     queries = {}
-    for name, fn in entrymod.queries().items():
+    probe_idx = {}
+    for i, (name, fn) in enumerate(entrymod.queries().items()):
+        if i and i % 10 == 0:
+            probe_walls.append(canary())
         try:
             fn(spark, "/root/testdata/sf0.001").write.format("noop").mode("overwrite").save()
         except Exception:
             pass  # warm-up only; the timed run below surfaces real failures
         spark.catalog.clearCache()
+        gc.collect()
         t0 = time.perf_counter()
         df = fn(spark, SF_DIR)
         df.write.format("noop").mode("overwrite").save()
         queries[name] = round(time.perf_counter() - t0, 3)
+        probe_idx[name] = len(probe_walls) - 1
         spark.catalog.clearCache()
+    probe_walls.append(canary())
+    # stamp = the WORSE of the two canaries bracketing the query, so noise
+    # that starts mid-window still shows on every query inside it
+    per_query_probe = {
+        q: max(probe_walls[i], probe_walls[min(i + 1, len(probe_walls) - 1)])
+        for q, i in probe_idx.items()}
 
     # PIP queries ship one geometry broadcast each; release them so the
     # kNN section below measures the engine, not accumulated blocks
@@ -165,6 +202,7 @@ def main():
     except Exception:
         pass  # warm-up only; the timed run below surfaces real failures
     spark.catalog.clearCache()
+    probe_walls.append(canary())
     t0 = time.perf_counter()
     knn_out = knn_cells(knn_pts, knn_q, 5, z=knn_z, ring=1,
                         broadcast_threshold=10_000)
@@ -172,6 +210,8 @@ def main():
     queries["knn_cells_200k_shufflehash"] = round(time.perf_counter() - t0, 3)
     unpersist_knn(knn_out)
     spark.catalog.clearCache()
+    probe_walls.append(canary())
+    per_query_probe["knn_cells_200k_shufflehash"] = max(probe_walls[-2:])
 
     print(json.dumps({
         "metric": "full_pyramid_build_wall",
@@ -189,6 +229,17 @@ def main():
                     "points": n, "base_cell_zoom": max(manifests),
                     "min_cell_zoom": min(manifests)},
         "queries": queries,
+        # mid-run noise detector: probe_walls is the canary series (one
+        # reading per ~10 queries); per_query_probe stamps each query with
+        # its nearest canary; contaminated_queries = stamped > 1.5x the
+        # run's own quietest canary (those entries measure the neighbor)
+        "query_probes": {
+            "probe_walls": probe_walls,
+            "per_query_probe": per_query_probe,
+            "contaminated_queries": sorted(
+                q for q, p in per_query_probe.items()
+                if p > 1.5 * min(probe_walls)),
+        },
     }))
 
 
