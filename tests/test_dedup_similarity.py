@@ -432,6 +432,47 @@ def test_ngram_length_filter_lossless_and_reduces_candidates(spark):
     assert fast == brute and brute  # lossless under the length filter
 
 
+def test_decontaminate_overlap_flags_excerpts(spark):
+    """An eval doc that is an excerpt of a training doc must be flagged
+    with shared >= the excerpt's shingle count; unrelated docs stay
+    unflagged; max_train_df drops boilerplate-only overlaps."""
+    from vt_grid_spark.operators.dedup import decontaminate_overlap
+
+    import pytest
+
+    boiler = "COMMON LICENSE HEADER TEXT BLOCK!"  # shared by every train doc
+    uniq = ["the quick brown fox jumps over the lazy dog near the river bank",
+            "pack my box with five dozen liquor jugs before the night train",
+            "how vexingly quick daft zebras jump across the frozen meadow"]
+    train = spark.createDataFrame(
+        [(i, boiler + " " + t) for i, t in enumerate(uniq)],
+        "train_id long, text string")
+    evals = spark.createDataFrame(
+        [(100, uniq[0][8:40]),      # excerpt of train 0 -> flagged
+         (101, "completely different eval prompt about astronomy facts"),
+         (102, boiler)],            # boilerplate-only overlap
+        "eval_id long, text string")
+
+    got = {(r.train_id, r.eval_id): r.shared
+           for r in decontaminate_overlap(train, evals, k=20,
+                                          min_shared=3).collect()}
+    assert (0, 100) in got and got[(0, 100)] >= 10
+    assert not any(e == 101 for _, e in got)
+    assert {(t, 102) for t in range(3)} <= set(got)  # boiler hits all 3
+
+    # boilerplate cap: shingles in every train doc (df=3) fall out with
+    # max_train_df=2, so only the true excerpt pair survives
+    capped = {(r.train_id, r.eval_id)
+              for r in decontaminate_overlap(train, evals, k=20, min_shared=3,
+                                             max_train_df=2).collect()}
+    assert capped == {(0, 100)}
+
+    with pytest.raises(ValueError, match="distinct column names"):
+        decontaminate_overlap(train.withColumnRenamed("train_id", "doc_id"),
+                              evals.withColumnRenamed("eval_id", "doc_id"),
+                              train_id="doc_id", eval_id="doc_id")
+
+
 def test_dedup_clusters_transitive_chain(spark):
     """A~B, B~C (A and C never paired) must land in ONE cluster with the
     min id as representative; disjoint components stay separate; a long

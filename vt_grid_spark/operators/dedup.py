@@ -594,3 +594,49 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .where(F.col("jac") >= threshold)
         .select("id_a", "id_b", "jac")
     )
+
+
+def decontaminate_overlap(train: DataFrame, evals: DataFrame,
+                          text_col: str = "text",
+                          train_id: str = "train_id",
+                          eval_id: str = "eval_id",
+                          k: int = 20, min_shared: int = 5,
+                          max_train_df: int | None = None) -> DataFrame:
+    """Train/eval contamination detection: (train_id, eval_id, shared)
+    for every pair sharing >= ``min_shared`` distinct character k-gram
+    shingles — the decontamination step every serious LLM data pipeline
+    runs before training (n-gram overlap against the eval suites; the
+    method published with GPT-3's appendix C / the C4 analysis in Dodge
+    et al. 2021).  Long shingles (default k=20, ~3-4 words) make shared
+    ones near-certain evidence of copied text rather than shared
+    vocabulary.
+
+    Scale shape (10^9 train docs x 10^5 eval docs): an inverted-index
+    equi-join on the shingle string — the train side is exploded
+    scan-side (narrow), the eval posting list is the SMALL side and is
+    joined shuffle-hash (never broadcast: eval suites are small but not
+    provably driver-small).  The aggregation key is (train_id, eval_id),
+    map-side combinable.  ``max_train_df`` optionally drops shingles
+    whose TRAIN document frequency exceeds the cap before the join —
+    boilerplate n-grams (license headers, nav chrome) flood the join at
+    corpus scale while carrying ~0 evidence; lossy only for a pair ALL
+    of whose shared shingles are that common, which at k=20 means the
+    "contamination" is itself boilerplate.
+    """
+    if train_id == eval_id:
+        raise ValueError(
+            "train_id and eval_id must be distinct column names — the "
+            "output carries both (rename one side before the call)")
+    t_sh = train.select(
+        F.col(train_id), F.explode(shingles_col(text_col, k)).alias("sh"))
+    e_sh = evals.select(
+        F.col(eval_id), F.explode(shingles_col(text_col, k)).alias("sh"))
+    if max_train_df is not None:
+        allowed = (t_sh.groupBy("sh")
+                   .agg(F.count(F.lit(1)).alias("_df"))
+                   .where(F.col("_df") <= max_train_df).select("sh"))
+        t_sh = t_sh.join(allowed, "sh", "left_semi")
+    joined = t_sh.join(e_sh.hint("shuffle_hash"), "sh")
+    return (joined.groupBy(train_id, eval_id)
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .where(F.col("shared") >= min_shared))

@@ -186,6 +186,45 @@ def ngram_jaccard_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# decontamination: train/eval k-gram overlap
+# ---------------------------------------------------------------------------
+
+_SH20 = ("list_distinct(list_transform(generate_series(1, greatest(length(text)-19, 1)),"
+         " i -> substr(text, CAST(i AS INT), 20)))")
+
+
+@register(
+    "decontaminate_overlap",
+    f"""
+WITH evals AS (
+  SELECT doc_id AS eval_id, substr(text, 10, 120) AS text
+  FROM documents WHERE doc_id % 25 = 0
+),
+t_sh AS (SELECT doc_id AS train_id, unnest({_SH20}) AS sh FROM documents),
+e_sh AS (SELECT eval_id, unnest({_SH20}) AS sh FROM evals)
+SELECT train_id, eval_id, COUNT(*) AS shared
+FROM t_sh JOIN e_sh USING (sh)
+GROUP BY train_id, eval_id
+HAVING COUNT(*) >= 5
+""",
+)
+def decontaminate_overlap_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval contamination detection (dedup.py::decontaminate_overlap)
+    — every eval doc is an EXCERPT (chars 10-129) of every 25th training
+    doc, so the detector must flag the source via shared 20-gram shingles
+    (plus any incidental cross-doc overlaps, which the oracle reproduces
+    exactly)."""
+    from vt_grid_spark.operators.dedup import decontaminate_overlap
+
+    docs = _docs(spark, sf_dir)
+    train = docs.select(F.col("doc_id").alias("train_id"), "text")
+    evals = docs.where(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("eval_id"),
+        F.expr("substring(text, 10, 120)").alias("text"))
+    return decontaminate_overlap(train, evals, k=20, min_shared=5)
+
+
+# ---------------------------------------------------------------------------
 # SimHash signatures (true 64-bit: low 60 bits from md5 hex chars 1-15,
 # high 4 from char 16; bit 63 = two's-complement sign) + Hamming pairs
 # ---------------------------------------------------------------------------
@@ -440,33 +479,44 @@ m AS (
            generate_series(1, greatest(len(h) - 3, 1)),
            i -> list_min(h[CAST(i AS INT):CAST(i + 3 AS INT)]))) AS m
   FROM h
+),
+win AS (SELECT doc_id, CAST(unnest(m) AS BIGINT) AS fp FROM m),
+exact AS (
+  SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS efp,
+         CAST(COUNT(*) AS BIGINT) AS cnt, MIN(doc_id) AS first_doc
+  FROM documents GROUP BY efp
 )
-SELECT doc_id, CAST(unnest(m) AS BIGINT) AS fp FROM m
+SELECT 'winnow' AS kind, doc_id, CAST(fp AS VARCHAR) AS fp,
+       CAST(NULL AS BIGINT) AS cnt
+FROM win
+UNION ALL
+SELECT 'exact' AS kind, first_doc AS doc_id, efp AS fp, cnt FROM exact
 """,
 )
 def winnow_fingerprints_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling-hash winnowing fingerprints (k=5, w=4) over the documents
-    table — the substring-robust fingerprint scheme next to the exact
-    whole-document md5 of doc_fingerprint."""
-    from vt_grid_spark.operators.textops import winnow_fingerprints
+    """Document fingerprinting, both schemes as one tagged relation
+    (consolidated r5 — the former standalone doc_fingerprint query rides
+    here so the registry stays at the driver's 50-row cap with no loss
+    of oracle coverage): kind='winnow' rows are the rolling-hash
+    winnowing fingerprints (k=5, w=4 — substring-robust, MOSS); kind=
+    'exact' rows are the whitespace-normalized whole-document md5 groups
+    (first_doc as doc_id, duplicate count as cnt)."""
+    from vt_grid_spark.operators.textops import (winnow_fingerprints,
+                                                 with_fingerprint)
 
-    return winnow_fingerprints(_docs(spark, sf_dir))
-
-
-@register(
-    "doc_fingerprint",
-    r"""
-SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fingerprint,
-       CAST(COUNT(*) AS BIGINT) AS cnt, MIN(doc_id) AS first_doc
-FROM documents GROUP BY fingerprint
-""",
-)
-def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vt_grid_spark.operators.textops import with_fingerprint
-
-    out = with_fingerprint(_docs(spark, sf_dir))
-    return out.groupBy("fingerprint").agg(
-        F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("first_doc"))
+    docs = _docs(spark, sf_dir)
+    win = winnow_fingerprints(docs).select(
+        F.lit("winnow").alias("kind"), "doc_id",
+        F.col("fp").cast("string").alias("fp"),
+        F.lit(None).cast("long").alias("cnt"))
+    exact = (with_fingerprint(docs)
+             .groupBy("fingerprint")
+             .agg(F.count(F.lit(1)).alias("cnt"),
+                  F.min("doc_id").alias("first_doc"))
+             .select(F.lit("exact").alias("kind"),
+                     F.col("first_doc").alias("doc_id"),
+                     F.col("fingerprint").alias("fp"), "cnt"))
+    return win.unionByName(exact)
 
 
 @register(
@@ -514,9 +564,7 @@ def dedup_first_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Embedding similarity: brute-force cosine top-k (oracle) + LSH ANN (rows-only)
 # ---------------------------------------------------------------------------
 
-@register(
-    "cosine_topk",
-    """
+_COSINE_BRUTE_SQL = """
 WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
 s AS (
   SELECT vec_id,
@@ -530,14 +578,26 @@ SELECT rank, vec_id, cos FROM (
          CAST(row_number() OVER (ORDER BY cos DESC, vec_id ASC) AS BIGINT) AS rank
   FROM s
 ) WHERE rank <= 20
-""",
-)
+"""
+
+
+# NOTE: registered (with its oracle) below, after _lsh_topk_oracle_sql is
+# defined — the query hosts BOTH strategies against one tagged oracle
+# (the knn_top10 consolidation pattern): kind='brute' exact scan +
+# kind='lsh' bucket-probe ANN (consolidated r5 to stay at the driver's
+# 50-row cap; no loss of oracle coverage)
 def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vt_grid_spark.operators.similarity import cosine_topk
+    from vt_grid_spark.operators.similarity import (ann_cosine_topk,
+                                                    cosine_topk)
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = [float(v) for v in emb.where(F.col("vec_id") == 0).collect()[0].embedding]
-    return cosine_topk(emb, qv, 20)
+    brute = cosine_topk(emb, qv, 20).select(
+        F.lit("brute").alias("kind"), "rank", "vec_id", "cos")
+    lsh = ann_cosine_topk(emb, qv, 20, dim=len(qv), n_planes=8,
+                          probe_hamming=1).select(
+        F.lit("lsh").alias("kind"), "rank", "vec_id", "cos")
+    return brute.unionByName(lsh)
 
 
 # ---------------------------------------------------------------------------
@@ -649,14 +709,13 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb, qv, 20, dim=len(qv), n_cells=16, n_probe=4)
 
 
-@register("ann_lsh_topk", _lsh_topk_oracle_sql())
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from vt_grid_spark.operators.similarity import ann_cosine_topk
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    row0 = emb.where(F.col("vec_id") == 0).collect()[0]
-    qv = [float(v) for v in row0.embedding]
-    return ann_cosine_topk(emb, qv, 20, dim=len(qv), n_planes=8, probe_hamming=1)
+# cosine_topk hosts both the exact brute scan and the LSH bucket-probe
+# ANN (kind column) against one tagged oracle — see the definition above
+register("cosine_topk", f"""
+SELECT 'brute' AS kind, rank, vec_id, cos FROM ({_COSINE_BRUTE_SQL})
+UNION ALL
+SELECT 'lsh' AS kind, rank, vec_id, cos FROM ({_lsh_topk_oracle_sql()})
+""")(cosine_topk_q)
 
 
 _ANN_CORPUS = """
@@ -715,6 +774,71 @@ def ann_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_cosine_pairs(corpus, dim=_ANN_DIM, threshold=0.9,
                             n_planes=_ANN_PLANES, n_tables=_ANN_TABLES,
                             id_col="vec_id", vec_col="ve", max_bucket=10_000)
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup clusters: ann_cosine_pairs -> connected components
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "embedding_dup_clusters",
+    f"""
+WITH RECURSIVE {_ANN_CORPUS},
+bk AS (
+  SELECT vec_id, ve, t.tbl,
+         CASE t.tbl WHEN 0 THEN {_ann_bucket_sql(0)}
+                    WHEN 1 THEN {_ann_bucket_sql(1)}
+                    WHEN 2 THEN {_ann_bucket_sql(2)}
+                    ELSE {_ann_bucket_sql(3)} END AS bucket
+  FROM corpus, (SELECT range AS tbl FROM range(0, {_ANN_TABLES})) t
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bk a JOIN bk b USING (tbl, bucket)
+  WHERE a.vec_id < b.vec_id
+),
+prs AS (
+  SELECT id_a, id_b
+  FROM cand JOIN corpus x ON x.vec_id = id_a JOIN corpus y ON y.vec_id = id_b
+  WHERE ROUND({_ANN_COS}, 6) >= 0.9
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM prs
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM prs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_rep
+FROM reach GROUP BY src
+""",
+)
+def embedding_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space near-dup CLUSTER assignment — the same
+    keep-one-per-cluster composition as dedup_clusters, but over the
+    ANN cosine pair graph (exact copies at cos 1.0 + 0.02-perturbed
+    copies at ~0.98): pairs -> large/small-star connected components.
+    Oracle: the ann_cosine_pairs CTEs + a recursive transitive closure."""
+    from vt_grid_spark.operators.dedup import dedup_clusters
+    from vt_grid_spark.operators.similarity import ann_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", dbl.alias("ve"))
+    near = emb.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(dbl, lambda x: x + F.lit(0.02)).alias("ve"))
+    exact = emb.where(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"), dbl.alias("ve"))
+    corpus = base.unionByName(near).unionByName(exact)
+    pairs = ann_cosine_pairs(corpus, dim=_ANN_DIM, threshold=0.9,
+                             n_planes=_ANN_PLANES, n_tables=_ANN_TABLES,
+                             id_col="vec_id", vec_col="ve", max_bucket=10_000)
+    return dedup_clusters(pairs)
 
 
 # ---------------------------------------------------------------------------
