@@ -221,3 +221,21 @@ def test_ngram_prefix_join_no_broadcast(spark):
     out = ngram_jaccard_pairs(docs, threshold=0.7, prefix_filter=True)
     p = plan_str(out, "simple")
     assert "BroadcastExchange" not in p and "BroadcastHashJoin" not in p
+
+
+def test_decontaminate_join_no_broadcast(spark):
+    """The shingle posting join must shuffle: the eval suite is the small
+    side but not provably driver-small (10^5 docs x 10^2 shingles), and
+    the train side never is."""
+    from pyspark.sql import functions as F
+
+    from vt_grid_spark.operators.dedup import decontaminate_overlap
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.select(F.col("doc_id").alias("train_id"), "text")
+    evals = docs.where(F.col("doc_id") % 25 == 0).select(
+        F.col("doc_id").alias("eval_id"), "text")
+    p = plan_str(decontaminate_overlap(train, evals, k=20, min_shared=2,
+                                       max_train_df=100), "simple")
+    assert "BroadcastExchange" not in p and "BroadcastHashJoin" not in p
+    assert "ShuffledHashJoin" in p or "SortMergeJoin" in p

@@ -632,10 +632,13 @@ def decontaminate_overlap(train: DataFrame, evals: DataFrame,
     e_sh = evals.select(
         F.col(eval_id), F.explode(shingles_col(text_col, k)).alias("sh"))
     if max_train_df is not None:
+        # allowed = every shingle at-or-below the cap — the LARGE side of
+        # the vocabulary (the cap excludes the boilerplate tail), so the
+        # semi-join must shuffle, never broadcast (cap_hot_buckets shape)
         allowed = (t_sh.groupBy("sh")
                    .agg(F.count(F.lit(1)).alias("_df"))
                    .where(F.col("_df") <= max_train_df).select("sh"))
-        t_sh = t_sh.join(allowed, "sh", "left_semi")
+        t_sh = t_sh.join(allowed.hint("shuffle_hash"), "sh", "left_semi")
     joined = t_sh.join(e_sh.hint("shuffle_hash"), "sh")
     return (joined.groupBy(train_id, eval_id)
             .agg(F.count(F.lit(1)).alias("shared"))
