@@ -114,6 +114,9 @@ def main():
     # shows proportionally (quiet spread ~1.25x; a tiny scheduling-
     # dominated probe read 1.7x spread and false-flagged half the run).
     _CANARY_EXPR = "bit_xor(" + "xxhash64(" * 5 + "id" + ")" * 5 + ")"
+    # measured quiet-box canary band: 0.51-0.65 s over 10 post-warm reps
+    # (BASELINE.md round-5); the ceiling anchors the contamination gate
+    _CANARY_QUIET_CEIL = 0.65
 
     def canary() -> float:
         t0 = time.perf_counter()
@@ -231,14 +234,18 @@ def main():
         "queries": queries,
         # mid-run noise detector: probe_walls is the canary series (one
         # reading per ~10 queries); per_query_probe stamps each query with
-        # its nearest canary; contaminated_queries = stamped > 1.5x the
-        # run's own quietest canary (those entries measure the neighbor)
+        # the worse of its two bracketing canaries.  The contamination
+        # reference is max(run minimum, the canary's measured quiet-box
+        # ceiling) — relative-to-min alone over-flags a uniformly-drifting
+        # run (the headline box probe already gates the uniform case; this
+        # detector exists for MID-RUN spikes).
         "query_probes": {
             "probe_walls": probe_walls,
             "per_query_probe": per_query_probe,
+            "canary_quiet_ceiling": _CANARY_QUIET_CEIL,
             "contaminated_queries": sorted(
                 q for q, p in per_query_probe.items()
-                if p > 1.5 * min(probe_walls)),
+                if p > 1.5 * max(min(probe_walls), _CANARY_QUIET_CEIL)),
         },
     }))
 
