@@ -219,6 +219,67 @@ def test_merge_cells_three_way_with_partials(spark):
     assert a == b and len(a) > 50
 
 
+def test_hist_quantile_merge_exact_and_bounds(spark):
+    """histQuantile property tests: (1) bucket arrays merged up two
+    pyramid levels are IDENTICAL to histograms built directly at the
+    coarse level (exact mergeability); (2) the pNN lower bound brackets
+    the true percentile within one bucket width; (3) the small-level
+    pandas rollup path agrees with the Spark rollup; (4) non-power-of-2
+    width is rejected."""
+    import numpy as np
+    import pytest
+
+    from vt_grid_spark.operators.encode import cell_aggregate, encode_points
+    from vt_grid_spark.operators.pyramid import _rollup_small_pandas
+    from vt_grid_spark.operators.rollup import rollup_level
+    from vt_grid_spark.plans.aggspec import AggSpec, compile_aggs, finalize_columns
+
+    b, w = 16, 128.0
+    spec = AggSpec(out="h", reducer="histQuantile", field="_v",
+                   buckets=b, width=w, quantiles=(0.5, 0.95))
+    pts = (pages.with_coords(pages.pages_df(spark, 2000))
+           .withColumn("_v", F.length("text").cast("double")))
+    enc = encode_points(pts, 8, with_quadkey=False)
+    fine = cell_aggregate(enc, 8, compile_aggs([spec]))
+    merged = rollup_level(rollup_level(fine, 8, [spec]), 7, [spec])
+    direct = cell_aggregate(
+        enc.withColumn("x", F.shiftright("x", 2))
+           .withColumn("y", F.shiftright("y", 2)), 6, compile_aggs([spec]))
+    a = {(r.x, r.y): tuple(r.h) for r in merged.collect()}
+    bb = {(r.x, r.y): tuple(r.h) for r in direct.collect()}
+    assert a == bb and len(a) > 3  # merge is EXACT
+
+    fin = finalize_columns([spec])
+    got = {(r.x, r.y): (r.p50, r.p95) for r in merged.select(
+        "x", "y", fin["h_p50"].alias("p50"), fin["h_p95"].alias("p95")).collect()}
+    vals: dict = {}
+    for r in (enc.withColumn("x", F.shiftright("x", 2))
+                 .withColumn("y", F.shiftright("y", 2))
+                 .select("x", "y", "_v").collect()):
+        vals.setdefault((r.x, r.y), []).append(r._v)
+    for key, (p50, p95) in got.items():
+        arr = np.sort(np.array(vals[key]))
+        for q, lo in ((0.5, p50), (0.95, p95)):
+            # the ceil(q*n)-th smallest value lives in the reported bucket
+            true_q = arr[min(len(arr) - 1, int(np.ceil(q * len(arr))) - 1)]
+            assert lo <= true_q < lo + w or (true_q >= (b - 1) * w
+                                             and lo == (b - 1) * w), \
+                (key, q, lo, true_q)
+
+    # pandas small-level rollup agrees with the Spark rollup
+    import pandas as pd
+    fine_pdf = fine.toPandas()
+    fine_pdf["h"] = fine_pdf["h"].map(list)
+    small = _rollup_small_pandas(fine_pdf, 8, [spec])
+    spark_roll = {(r.x, r.y): tuple(r.h)
+                  for r in rollup_level(fine, 8, [spec]).collect()}
+    pandas_roll = {(r.x, r.y): tuple(r.h) for _, r in small.iterrows()}
+    assert pandas_roll == spark_roll
+
+    with pytest.raises(ValueError, match="power of 2"):
+        AggSpec(out="h", reducer="histQuantile", field="_v", width=48.0)
+
+
 def test_kmv_sketch_merge_exact_and_estimate_sane(spark):
     """KMV property tests: (1) sketches merged up two pyramid levels are
     IDENTICAL to sketches built directly at the coarse level (exact

@@ -62,6 +62,12 @@ def _rollup_small_pandas(pdf, child_z: int, specs: list[AggSpec]):
             # exact-merge rule as compile_rollup_aggs
             aggs[s.out] = (s.out, lambda col, k=s.k:
                            sorted({v for arr in col for v in arr})[:k])
+        elif s.reducer == "histQuantile":
+            # elementwise sum of the bucket arrays — same exact merge as
+            # compile_rollup_aggs
+            aggs[s.out] = (s.out, lambda col, b=s.buckets:
+                           [int(sum(arr[i] for arr in col))
+                            for i in range(b)])
     out = pdf.groupby(["x", "y"], as_index=False).agg(**aggs)
     out.insert(0, "zoom", z)
     out.insert(3, "quadkey", tm.tile_to_quadkey(out["x"].to_numpy(),

@@ -16,6 +16,8 @@ manual count→sum pattern of README.md:66-74, generalized):
   areaWeightedSum  -> F.sum(w*v)            F.sum
   totalArea   -> F.sum(w)                   F.sum
   union       -> sorted collect_set         flatten+re-distinct (README.md:101,154)
+  histQuantile-> linear-bucket count array  elementwise sum (exact merge);
+                 finalize reads p50/p95 off the cumulative counts
 
 Custom reducers (reference lib/aggregate.js:26-36) are Python callables
 run via applyInPandas — see operators/custom_reduce.py.
@@ -35,7 +37,7 @@ from pyspark.sql import functions as F
 VALID_REDUCERS = {
     "count", "sum", "min", "max", "mean",
     "areaWeightedMean", "areaWeightedSum", "totalArea", "union",
-    "kmvDistinct",
+    "kmvDistinct", "histQuantile",
 }
 
 # KMV hash domain: 60 uniform bits from md5 (same derivation the dedup
@@ -53,6 +55,14 @@ class AggSpec:
     weight    — weight column for area-weighted reducers (defaults to the
                 cell's spherical area at the base level; 1.0 for points)
     k         — sketch size for kmvDistinct (k smallest hashes kept)
+    buckets/width/quantiles — histQuantile configuration: the cell value
+                is a ``buckets``-long array of counts over linear bins of
+                ``width`` (power of 2 — keeps v/width exact in binary FP
+                so Spark and DuckDB bucket identically); finalize emits a
+                ``<out>_pNN`` lower-bound column per requested quantile.
+                ALGEBRAIC (sum-mergeable) unlike union/kmvDistinct, so it
+                is skew-immune via map-side partials — bounded state per
+                cell where an exact percentile would collect-and-sort.
 
     ``kmvDistinct`` is the engine's mergeable distinct-count sketch
     (k-minimum-values, Bar-Yossef et al. 2002): the cell value is the k
@@ -68,12 +78,25 @@ class AggSpec:
     field: str | None = None
     weight: str | None = None
     k: int = 64
+    buckets: int = 32
+    width: float = 64.0
+    quantiles: tuple = (0.5, 0.95)
 
     def __post_init__(self):
         if self.reducer not in VALID_REDUCERS:
             raise ValueError(
                 f"unknown reducer {self.reducer!r}; valid: {sorted(VALID_REDUCERS)}"
                 " (reference rejects unknown names the same way, bin/vt-grid:39-41)")
+        if self.reducer == "histQuantile":
+            # power-of-2 width: v / width is then EXACT in binary floating
+            # point for every v, so the bucket assignment is bit-identical
+            # across Spark and DuckDB (an inexact division could flip a
+            # boundary value into the neighboring bucket in one engine)
+            w = self.width
+            if w <= 0 or (w != int(w) and 1.0 / w != int(1.0 / w)) or \
+                    (int(max(w, 1.0 / w)) & (int(max(w, 1.0 / w)) - 1)):
+                raise ValueError(
+                    f"histQuantile width must be a power of 2, got {w!r}")
 
 
 # the reference's CLI aggregation-string pattern 'layer:func(field)'
@@ -149,6 +172,22 @@ def compile_aggs(specs: list[AggSpec]) -> list[Column]:
                        f" 1, 15), 16, 10) as bigint)")
             out.append(F.slice(F.array_sort(F.collect_set(h)), 1, s.k)
                        .alias(s.out))
+        elif s.reducer == "histQuantile":
+            # fixed linear-bucket histogram as an array<bigint> of length
+            # ``buckets``: bucket = clamp(floor(v / width)).  EXACTLY
+            # mergeable (rollup = elementwise sum), deterministic, and
+            # DuckDB-oracle-checkable — the per-cell quantile sketch a
+            # 100 TB pyramid needs where collect-and-sort cannot run
+            # (percentile resolution = width, bounded state = buckets).
+            b = F.least(
+                F.lit(s.buckets - 1),
+                F.greatest(F.lit(0),
+                           F.floor(F.col(s.field) / F.lit(s.width)))
+            ).cast("int")
+            out.append(F.array(*[
+                F.sum(F.when(b == i, F.lit(1)).otherwise(F.lit(0))
+                      .cast("long"))
+                for i in range(s.buckets)]).alias(s.out))
     return out
 
 
@@ -184,6 +223,11 @@ def compile_rollup_aggs(specs: list[AggSpec]) -> list[Column]:
                 F.slice(F.array_sort(F.array_distinct(
                     F.flatten(F.collect_list(s.out)))), 1, s.k).alias(s.out)
             )
+        elif s.reducer == "histQuantile":
+            # elementwise sum of the children's bucket arrays — exact merge
+            out.append(F.array(*[
+                F.sum(F.element_at(F.col(s.out), i + 1))
+                for i in range(s.buckets)]).alias(s.out))
     return out
 
 
@@ -202,4 +246,17 @@ def finalize_columns(specs: list[AggSpec]) -> dict[str, Column]:
                 F.size(s.out) < s.k, F.size(s.out).cast("double")
             ).otherwise(
                 F.round(F.lit(float(s.k - 1)) * F.lit(float(KMV_DOMAIN)) / kth, 4))
+        elif s.reducer == "histQuantile":
+            # q-quantile lower bound: first bucket whose cumulative count
+            # reaches ceil(q * total), reported as bucket_lo = idx * width.
+            # Integer cumsums + an exact ceil comparison — deterministic,
+            # mirrored term-for-term in the DuckDB oracle.
+            total = f"aggregate({s.out}, 0L, (a, x) -> a + x)"
+            for q in s.quantiles:
+                name = f"{s.out}_p{int(round(q * 100))}"
+                out[name] = F.expr(
+                    f"cast((filter(sequence(1, {s.buckets}), i -> "
+                    f"aggregate(slice({s.out}, 1, i), 0L, (a, x) -> a + x)"
+                    f" >= ceil({q!r} * {total}))[0] - 1) * {s.width!r}"
+                    f" as double)")
     return out

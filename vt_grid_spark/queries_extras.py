@@ -513,15 +513,29 @@ def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# kmvDistinct: the engine's mergeable distinct-count sketch (k-minimum-
-# values).  The Spark side builds sketches at z7 and rolls them up TWO
-# levels through the real pyramid path; the oracle computes the z5 sketch
-# directly — a hash match proves the merge is exact (kmv(A ∪ B) ==
-# merge(kmv(A), kmv(B))), which register-based sketches (HLL) can't offer
-# cross-engine.
+# Per-cell sketch reducers, both through the real 2-level rollup path:
+#   * kmvDistinct — mergeable distinct-count (k-minimum-values); the
+#     oracle computes the z5 sketch directly, so a hash match proves
+#     kmv(A ∪ B) == merge(kmv(A), kmv(B)) — which register-based sketches
+#     (HLL) can't offer cross-engine.
+#   * histQuantile — linear-bucket histogram (array of counts, elementwise-
+#     sum merge) with p50/p95 lower-bound finalize: the bounded-state
+#     per-cell percentile a 100 TB pyramid needs where collect-and-sort
+#     cannot run.  Same direct-vs-rolled-up hash-match proof.
 # ---------------------------------------------------------------------------
 
 _KMV_K = 32
+_HQ_B, _HQ_W = 32, 64.0
+
+_HQ_SQL = "list_value(" + ", ".join(
+    f"CAST(SUM(CASE WHEN least({_HQ_B - 1}, greatest(0, floor(chars / {_HQ_W!r})))"
+    f" = {i} THEN 1 ELSE 0 END) AS BIGINT)" for i in range(_HQ_B)) + ")"
+
+
+def _hq_q_sql(q: float) -> str:
+    return (f"CAST((list_min(list_filter(generate_series(1, {_HQ_B}), "
+            f"i -> list_sum(h[1:i]) >= ceil({q!r} * list_sum(h)))) - 1)"
+            f" * {_HQ_W!r} AS DOUBLE)")
 
 
 @register(
@@ -530,11 +544,13 @@ _KMV_K = 32
 WITH pts AS ({_PAGES}),
 enc AS (
   SELECT {sq.tile_x_sql('lon', 5)} AS x, {sq.tile_y_sql('lat', 5)} AS y,
-         ('0x' || substr(md5(string_split(url, '/')[3]), 1, 15))::BIGINT AS h
+         ('0x' || substr(md5(string_split(url, '/')[3]), 1, 15))::BIGINT AS h,
+         CAST(length(text) AS DOUBLE) AS chars
   FROM pts
 ),
 g AS (
-  SELECT x, y, (list_sort(list_distinct(list(h))))[1:{_KMV_K}] AS sk
+  SELECT x, y, (list_sort(list_distinct(list(h))))[1:{_KMV_K}] AS sk,
+         {_HQ_SQL} AS h
   FROM enc GROUP BY x, y
 )
 SELECT x, y,
@@ -542,33 +558,46 @@ SELECT x, y,
   CAST(len(sk) AS BIGINT) AS n_sketch,
   CASE WHEN len(sk) < {_KMV_K} THEN len(sk)::DOUBLE
        ELSE ROUND({_KMV_K - 1} * {float(1 << 60)!r} / sk[{_KMV_K}], 4)
-  END AS dom_est
+  END AS dom_est,
+  array_to_string(h, ',') AS len_hist,
+  {_hq_q_sql(0.5)} AS len_p50,
+  {_hq_q_sql(0.95)} AS len_p95
 FROM g
 """,
 )
 def kmv_distinct_z5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct web domains per cell via KMV sketches: built at z7,
-    merged up two pyramid levels, estimated — must hash-match the direct
-    z5 sketch."""
+    """Distinct web domains (KMV) + text-length histogram quantiles
+    (histQuantile) per cell: both sketches built at z7 and merged up TWO
+    pyramid levels — must hash-match the oracle's direct z5 computation
+    (exact-merge proof for both reducers)."""
     from vt_grid_spark.operators.encode import cell_aggregate, encode_points
     from vt_grid_spark.operators.rollup import rollup_level
     from vt_grid_spark.plans.aggspec import AggSpec, compile_aggs, finalize_columns
 
-    spec = AggSpec(out="dom_sketch", reducer="kmvDistinct", field="_dom",
-                   k=_KMV_K)
+    specs = [
+        AggSpec(out="dom_sketch", reducer="kmvDistinct", field="_dom",
+                k=_KMV_K),
+        AggSpec(out="len_hist", reducer="histQuantile", field="_chars",
+                buckets=_HQ_B, width=_HQ_W, quantiles=(0.5, 0.95)),
+    ]
     pts = _pts(spark, sf_dir).withColumn(
-        "_dom", F.split(F.col("url"), "/").getItem(2))
+        "_dom", F.split(F.col("url"), "/").getItem(2)).withColumn(
+        "_chars", F.length("text").cast("double"))
     cells = cell_aggregate(encode_points(pts, 7, with_quadkey=False), 7,
-                           compile_aggs([spec]))
+                           compile_aggs(specs))
     for child_z in (7, 6):
-        cells = rollup_level(cells, child_z, [spec])
-    est = finalize_columns([spec])["dom_sketch_est"]
+        cells = rollup_level(cells, child_z, specs)
+    fin = finalize_columns(specs)
     return cells.select(
         "x", "y",
         F.array_join(F.col("dom_sketch").cast("array<string>"), ",")
         .alias("dom_sketch"),
         F.size("dom_sketch").cast("long").alias("n_sketch"),
-        est.alias("dom_est"))
+        fin["dom_sketch_est"].alias("dom_est"),
+        F.array_join(F.col("len_hist").cast("array<string>"), ",")
+        .alias("len_hist"),
+        fin["len_hist_p50"].alias("len_p50"),
+        fin["len_hist_p95"].alias("len_p95"))
 
 
 # ---------------------------------------------------------------------------
