@@ -1,0 +1,99 @@
+"""Regenerate PLANS.md: annotated physical plans for the headline
+operators — the evidence that the shapes claimed in README "Scale design"
+are the shapes Catalyst actually runs.
+
+    python scripts/plan_audit.py 2>/dev/null   # rewrites PLANS.md
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF = "/root/testdata/sf0.001"
+
+# query -> what the plan must show (rendered above each plan)
+AUDITS = {
+    "cell_encode_z12": (
+        "Base-level encode+aggregate. Look for: lon/lat arithmetic inside "
+        "WholeStageCodegen (no Python); ONE Exchange hashpartitioning on "
+        "integer (x, y) — quadkey is derived AFTER the agg, so the shuffle "
+        "carries two longs, not strings; partial_count/partial_sum above "
+        "the scan (map-side combine)."),
+    "pyramid_rollup_z6": (
+        "One rollup level. Look for: groupBy on shiftright(x,1)/"
+        "shiftright(y,1) integer parent keys; a single Exchange per level; "
+        "partial aggregation before it."),
+    "pip_rect_join": (
+        "Point-in-polygon join. Look for: BroadcastHashJoin on the "
+        "polygon COVER only (the provably-small side); the fact table "
+        "never shuffles for the join; exactly one ArrowEvalPython "
+        "(the refine kernel) fed by the single joined stream — full-cell "
+        "rows short-circuit INSIDE the kernel, so no double scan."),
+    "minhash_dup_pairs": (
+        "LSH near-dup pairs. Look for: NO BroadcastExchange anywhere "
+        "(corpus-sized tables shuffle on id/bucket keys — "
+        "ShuffledHashJoin); the signature-agreement prefilter (a Filter "
+        "of +..CASE WHEN.. sums) BEFORE HashAggregate(distinct); "
+        "ReusedExchange where the candidate subtree feeds both the "
+        "semi-join id list and the refine join."),
+    "decontaminate_overlap": (
+        "Train/eval k-gram overlap. Look for: shingle explode scan-side "
+        "(Generate under the scan, narrow); ShuffledHashJoin on the "
+        "shingle for both the df-cap semi-join and the eval join — no "
+        "broadcast; map-side partial count before the (train_id, eval_id) "
+        "aggregation."),
+    "knn_top10": (
+        "Exact kNN, both strategies. Look for: the ring-candidate join "
+        "plus window top-k; TakeOrderedAndProject (not a global sort) "
+        "where the query orders output; the brute twin broadcasts only "
+        "the tiny query table."),
+}
+
+
+def main() -> int:
+    import __spark_entry__ as e
+    from vt_grid_spark.session import get_spark
+
+    spark = get_spark("plan-audit", cores=8)
+    qs = e.queries()
+    out = [
+        "# PLANS — annotated physical plans (regenerate: "
+        "`python scripts/plan_audit.py`)",
+        "",
+        "Spark `explain('simple')` output at sf0.001 for the headline "
+        "operators, each annotated with the properties the plan must "
+        "exhibit (machine-asserted versions of most of these live in "
+        "tests/test_physical_plans.py — this file is the human-readable "
+        "evidence).",
+    ]
+    for name, note in AUDITS.items():
+        df = qs[name](spark, SF)
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+        # strip volatile ids so regeneration diffs stay reviewable
+        plan = re.sub(r"#\d+L?", "#_", plan)
+        plan = re.sub(r"plan_id=\d+", "plan_id=_", plan)
+        lines = plan.rstrip().split("\n")
+        if len(lines) > 150:
+            # the static knn plan contains every escalation level the
+            # runtime residue counts short-circuit — keep the head, which
+            # holds the strategy-defining joins
+            lines = lines[:150] + [
+                f"... ({len(lines) - 150} more lines — the remaining "
+                "escalation levels repeat the same join shape; runtime "
+                "short-circuits them via residue counts)"]
+        out += ["", f"## {name}", "", note, "", "```", "\n".join(lines), "```"]
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLANS.md")
+    with open(path, "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -101,3 +101,46 @@ def test_mvt_point_tile_roundtrip(data):
         lat = float(tm.tile_to_lat(y + py / 4096.0, z))
         assert f["geometry"]["coordinates"] == [lon, lat]
         assert f["properties"] == {"i": f["id"]}
+
+
+# ---------------------------------------------------------------------------
+# PIP refine kernel: the interval-stabbing implementation (sorted lats +
+# searchsorted per edge y-span) must match a straightforward scalar
+# even-odd ray cast on arbitrary polygons — including degenerate rings
+# with horizontal edges, repeated vertices, and duplicate point lats.
+# ---------------------------------------------------------------------------
+
+@given(st.data())
+@settings(max_examples=150, deadline=None)
+def test_pip_interval_stabbing_matches_scalar_raycast(data):
+    from vt_grid_spark.operators.spatial_join import points_in_polygon_numpy
+
+    coord = st.integers(min_value=-20, max_value=20)  # ints force exact ties
+    n_v = data.draw(st.integers(min_value=3, max_value=12))
+    ring = [[float(data.draw(coord)), float(data.draw(coord))]
+            for _ in range(n_v)]
+    n_p = data.draw(st.integers(min_value=1, max_value=60))
+    lon = np.array([float(data.draw(coord)) + data.draw(
+        st.sampled_from([0.0, 0.5])) for _ in range(n_p)])
+    lat = np.array([float(data.draw(coord)) + data.draw(
+        st.sampled_from([0.0, 0.5])) for _ in range(n_p)])
+
+    def scalar(lon, lat, rings):
+        inside = np.zeros(len(lon), dtype=bool)
+        for rg in rings:
+            r = np.asarray(rg, dtype=np.float64)
+            if len(r) and np.array_equal(r[0], r[-1]):
+                r = r[:-1]
+            x1, y1 = r[:, 0], r[:, 1]
+            x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+            for i in range(len(r)):
+                cond = (y1[i] > lat) != (y2[i] > lat)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    xint = (x2[i] - x1[i]) * (lat - y1[i]) / (y2[i] - y1[i]) + x1[i]
+                inside ^= cond & (lon < xint)
+        return inside
+
+    got = points_in_polygon_numpy(lon, lat, [ring], chunk_elems=data.draw(
+        st.sampled_from([7, 64, 32_000_000])))  # tiny chunks hit the batching
+    want = scalar(lon, lat, [ring])
+    assert np.array_equal(got, want)
