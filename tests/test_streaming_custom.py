@@ -359,3 +359,64 @@ def test_streaming_dedup_file_source_kill_restart(spark, tmp_path):
     assert len(got_fps) == len(set(got_fps)) == 200  # exactly-once per fp
     assert set(got_fps) == want_fps                  # none lost
     assert all(d in holders[fp] for d, fp in got)    # every survivor real
+
+
+def test_streaming_pyramid_maintenance_equals_batch_rebuild(spark, tmp_path):
+    """PyramidStreamSink: points arriving as file-source microbatches
+    (maxFilesPerTrigger=1 -> first batch bootstraps, later batches fold
+    through incremental_update) must leave a pyramid IDENTICAL at every
+    level to a one-shot batch build over the union; the applied-batch
+    journal must make a replayed foreachBatch call a no-op."""
+    import json
+
+    from vt_grid_spark.operators.pyramid import build_pyramid
+    from vt_grid_spark.plans.aggspec import AggSpec
+    from vt_grid_spark.plans.pyramid_plan import PyramidPlan, ZoomBand
+    from vt_grid_spark.sources import pages
+    from vt_grid_spark.sources.table_io import TableIO
+    from vt_grid_spark.streaming.pyramid_sink import (PyramidStreamSink,
+                                                      maintain_pyramid)
+
+    pts = (pages.with_coords(pages.pages_df(spark, 1200))
+           .withColumn("v", F.length("text").cast("double"))
+           .select("lon", "lat", "v"))
+    src = str(tmp_path / "src")
+    parts = [pts.where(F.pmod(F.xxhash64("lon"), F.lit(3)) == i) for i in range(3)]
+    for i, part in enumerate(parts):
+        part.coalesce(1).write.mode("append" if i else "error").parquet(src)
+
+    specs = [AggSpec(out="cnt", reducer="count"),
+             AggSpec(out="sum_v", reducer="sum", field="v")]
+    plan = PyramidPlan(bands=[ZoomBand(basezoom=6, minzoom=4,
+                                       aggregations=specs)], gridsize=4)
+
+    stream = (spark.readStream.schema(pts.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    io_s = TableIO(str(tmp_path / "stream_pyr"))
+    q = maintain_pyramid(stream, plan, io_s,
+                         checkpoint_dir=str(tmp_path / "ckpt"))
+    q.awaitTermination(300)
+
+    io_b = TableIO(str(tmp_path / "batch_pyr"))
+    build_pyramid(pts, plan, io_b, resume=False)
+
+    zooms = [cz for _, cz, _ in plan.levels()]
+    for z in zooms:
+        a = {(r.x, r.y): (r.cnt, r.sum_v)
+             for r in io_s.read_level(spark, z).collect()}
+        b = {(r.x, r.y): (r.cnt, r.sum_v)
+             for r in io_b.read_level(spark, z).collect()}
+        assert a == b and a, f"zoom {z} diverged"
+
+    # the journal recorded each microbatch once; replaying batch 1
+    # against the sink must be a no-op (at-least-once retry safety)
+    journal = json.load(open(f"{io_s.root}/_stream/applied.json"))
+    assert sorted(journal["batches"]) == [0, 1, 2]
+    sink = PyramidStreamSink(plan, io_s)
+    sink(parts[1], 1)  # replay
+    z0 = zooms[0]
+    a = {(r.x, r.y): (r.cnt, r.sum_v)
+         for r in io_s.read_level(spark, z0).collect()}
+    b = {(r.x, r.y): (r.cnt, r.sum_v)
+         for r in io_b.read_level(spark, z0).collect()}
+    assert a == b  # unchanged — no double-count
