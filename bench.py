@@ -105,25 +105,19 @@ def main():
 
     # --- per-query canary probes ---------------------------------------------
     # BASELINE.md documents whole per-query runs discarded for INVISIBLE
-    # mid-run noise the headline-only probe cannot see (r3, r4).  A cheap
-    # fixed COMPUTE-BOUND job (chained xxhash64 over spark.range — no IO,
-    # no shuffle, 64 tasks) re-runs every ~10 queries; each query's JSON
-    # entry is stamped with the worse of its two bracketing probes, so a
-    # contaminated entry self-identifies against the run's own quietest
-    # probe (VERDICT r4 #6).  Compute-bound matters: hypervisor steal
-    # shows proportionally (quiet spread ~1.25x; a tiny scheduling-
-    # dominated probe read 1.7x spread and false-flagged half the run).
-    _CANARY_EXPR = "bit_xor(" + "xxhash64(" * 5 + "id" + ")" * 5 + ")"
-    # measured quiet-box canary band: 0.51-0.65 s over 10 post-warm reps
-    # (BASELINE.md round-5); the ceiling anchors the contamination gate
-    _CANARY_QUIET_CEIL = 0.65
+    # mid-run noise the headline-only probe cannot see (r3, r4).  The
+    # shared compute-bound canary (vt_grid_spark/canary.py — one
+    # definition, since its workload IS the quiet-band calibration)
+    # re-runs every ~10 queries; each query's JSON entry is stamped with
+    # the worse of its two bracketing probes, so a contaminated entry
+    # self-identifies (VERDICT r4 #6).
+    from vt_grid_spark.canary import CANARY_QUIET_CEIL, warm_canary
+    from vt_grid_spark.canary import canary as _canary
 
     def canary() -> float:
-        t0 = time.perf_counter()
-        spark.range(0, 512_000_000, 1, 64).selectExpr(_CANARY_EXPR).collect()
-        return round(time.perf_counter() - t0, 3)
+        return _canary(spark)
 
-    canary(); canary()  # 2 warm reps: first pays codegen, second JIT tail
+    warm_canary(spark)
     probe_walls = [canary()]
 
     # --- per-query timings (codegen warmed at sf0.001, timed at SF_DIR) -------
@@ -242,10 +236,10 @@ def main():
         "query_probes": {
             "probe_walls": probe_walls,
             "per_query_probe": per_query_probe,
-            "canary_quiet_ceiling": _CANARY_QUIET_CEIL,
+            "canary_quiet_ceiling": CANARY_QUIET_CEIL,
             "contaminated_queries": sorted(
                 q for q, p in per_query_probe.items()
-                if p > 1.5 * max(min(probe_walls), _CANARY_QUIET_CEIL)),
+                if p > 1.5 * max(min(probe_walls), CANARY_QUIET_CEIL)),
         },
     }))
 

@@ -29,24 +29,31 @@ def main(argv: list[str]) -> int:
     reps = 2
     if "--reps" in argv:
         i = argv.index("--reps")
-        reps = int(argv[i + 1])
+        if i + 1 >= len(argv):
+            print("usage: probe_query.py [query ...] [--reps N]",
+                  file=sys.stderr)
+            return 2
+        try:
+            reps = int(argv[i + 1])
+        except ValueError:
+            print(f"--reps expects an integer, got {argv[i + 1]!r}",
+                  file=sys.stderr)
+            return 2
         argv = argv[:i] + argv[i + 2:]
     names = argv or ["dedup_clusters"]
 
     import __spark_entry__ as entrymod
+    from vt_grid_spark.canary import warm_canary
+    from vt_grid_spark.canary import canary as _canary
     from vt_grid_spark.session import get_spark
 
     spark = get_spark("vt-grid-probe", cores=CPUS)
     qs = entrymod.queries()
 
-    expr = "bit_xor(" + "xxhash64(" * 5 + "id" + ")" * 5 + ")"
-
     def canary() -> float:
-        t0 = time.perf_counter()
-        spark.range(0, 512_000_000, 1, 64).selectExpr(expr).collect()
-        return round(time.perf_counter() - t0, 3)
+        return _canary(spark)
 
-    canary(); canary()  # codegen + JIT tail
+    warm_canary(spark)
     for name in names:
         fn = qs[name]
         try:

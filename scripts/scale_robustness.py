@@ -52,14 +52,13 @@ def main(argv: list[str]) -> int:
                 peak["bytes"] = used
             stop.wait(0.5)
 
-    expr = "bit_xor(" + "xxhash64(" * 5 + "id" + ")" * 5 + ")"
+    from vt_grid_spark.canary import warm_canary
+    from vt_grid_spark.canary import canary as _canary
 
     def canary() -> float:
-        t0 = time.perf_counter()
-        spark.range(0, 512_000_000, 1, 64).selectExpr(expr).collect()
-        return round(time.perf_counter() - t0, 3)
+        return _canary(spark)
 
-    canary(); canary()
+    warm_canary(spark)
     probe_before = canary()
 
     pts = pages.with_coords(pages.pages_df(spark, n)) \

@@ -46,6 +46,11 @@ def test_sql_quadkey_roundtrip_and_lineage(spark):
         assert r.qk == tm.tile_to_quadkey(r.x, r.y, 7)    # numpy twin
         assert (r.px, r.py) == tm.parent(r.x, r.y, 7)[:2]
         assert r.anc and not r.not_anc
+    # z=0 root tile: '' quadkey (sequence(1,0) is DESCENDING in Spark —
+    # the guard must short-circuit), and the inverse maps '' -> (0, 0)
+    root = spark.sql("SELECT vt_quadkey(0, 0, 0) AS qk, "
+                     "vt_quadkey_x('') AS x, vt_quadkey_y('') AS y").collect()[0]
+    assert (root.qk, root.x, root.y) == ("", 0, 0)
 
 
 def test_sql_cell_pack_exact_at_high_zoom(spark):

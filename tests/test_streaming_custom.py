@@ -365,9 +365,13 @@ def test_streaming_pyramid_maintenance_equals_batch_rebuild(spark, tmp_path):
     """PyramidStreamSink: points arriving as file-source microbatches
     (maxFilesPerTrigger=1 -> first batch bootstraps, later batches fold
     through incremental_update) must leave a pyramid IDENTICAL at every
-    level to a one-shot batch build over the union; the applied-batch
-    journal must make a replayed foreachBatch call a no-op."""
+    level to a one-shot batch build over the union; a replayed
+    foreachBatch call must be a no-op (generation commit), and a crash
+    MID-FOLD must leave CURRENT on the old generation so the replay
+    redoes the fold exactly once."""
     import json
+    import os
+    import shutil
 
     from vt_grid_spark.operators.pyramid import build_pyramid
     from vt_grid_spark.plans.aggspec import AggSpec
@@ -392,31 +396,49 @@ def test_streaming_pyramid_maintenance_equals_batch_rebuild(spark, tmp_path):
 
     stream = (spark.readStream.schema(pts.schema)
               .option("maxFilesPerTrigger", 1).parquet(src))
-    io_s = TableIO(str(tmp_path / "stream_pyr"))
-    q = maintain_pyramid(stream, plan, io_s,
+    root = str(tmp_path / "stream_pyr")
+    q = maintain_pyramid(stream, plan, root,
                          checkpoint_dir=str(tmp_path / "ckpt"))
     q.awaitTermination(300)
 
     io_b = TableIO(str(tmp_path / "batch_pyr"))
     build_pyramid(pts, plan, io_b, resume=False)
 
+    sink = PyramidStreamSink(plan, root)
+    io_s = sink.current_io()
     zooms = [cz for _, cz, _ in plan.levels()]
+
+    def level(io, z):
+        return {(r.x, r.y): (r.cnt, r.sum_v)
+                for r in io.read_level(spark, z).collect()}
+
     for z in zooms:
-        a = {(r.x, r.y): (r.cnt, r.sum_v)
-             for r in io_s.read_level(spark, z).collect()}
-        b = {(r.x, r.y): (r.cnt, r.sum_v)
-             for r in io_b.read_level(spark, z).collect()}
+        a, b = level(io_s, z), level(io_b, z)
         assert a == b and a, f"zoom {z} diverged"
 
-    # the journal recorded each microbatch once; replaying batch 1
-    # against the sink must be a no-op (at-least-once retry safety)
-    journal = json.load(open(f"{io_s.root}/_stream/applied.json"))
-    assert sorted(journal["batches"]) == [0, 1, 2]
-    sink = PyramidStreamSink(plan, io_s)
-    sink(parts[1], 1)  # replay
-    z0 = zooms[0]
-    a = {(r.x, r.y): (r.cnt, r.sum_v)
-         for r in io_s.read_level(spark, z0).collect()}
-    b = {(r.x, r.y): (r.cnt, r.sum_v)
-         for r in io_b.read_level(spark, z0).collect()}
-    assert a == b  # unchanged — no double-count
+    # CURRENT committed the last batch id; replay of batch 2 is a no-op
+    cur = json.load(open(os.path.join(root, "CURRENT")))
+    assert cur["applied_batch"] == 2
+    sink(parts[2], 2)  # foreachBatch retry after the commit
+    assert level(sink.current_io(), zooms[0]) == level(io_b, zooms[0])
+
+    # crash MID-FOLD simulation: a partial stage exists for batch 3 but
+    # CURRENT still points at gen-2 — the retry must wipe the stage,
+    # redo the fold once, and land exactly the delta
+    extra = pts.limit(100)
+    os.makedirs(os.path.join(root, "gen-3", "zoom=7"), exist_ok=True)
+    with open(os.path.join(root, "gen-3", "zoom=7", "junk"), "w") as f:
+        f.write("partial")
+    sink(extra, 3)
+    cur = json.load(open(os.path.join(root, "CURRENT")))
+    assert cur == {"gen": "gen-3", "applied_batch": 3}
+    n_total = sum(c for c, _ in level(sink.current_io(), zooms[0]).values())
+    n_base = sum(c for c, _ in level(io_b, zooms[0]).values())
+    assert n_total == n_base + 100
+    # old generations are garbage-collected; only the live one remains
+    gens = [d for d in os.listdir(root) if d.startswith("gen-")]
+    assert gens == ["gen-3"]
+    # and an empty batch advances the pointer without a new generation
+    sink(extra.where(F.lit(False)), 4)
+    cur = json.load(open(os.path.join(root, "CURRENT")))
+    assert cur == {"gen": "gen-3", "applied_batch": 4}

@@ -45,7 +45,9 @@ def build_parser() -> argparse.ArgumentParser:
                         "(lib/aggregate.js:26-36) in Python form.  factory() "
                         "returns {'reduce_fn': callable(pdf, tile)->dict, "
                         "'result_schema': 'col type, ...', optional "
-                        "'strategy', 'layer'}.  On a cluster ship the module "
+                        "'strategy', 'layer', 'fields' (feature properties "
+                        "to extract from an .mbtiles input)}.  On a cluster "
+                        "ship the module "
                         "with spark-submit --py-files.  Mutually exclusive "
                         "with --aggregations; every level re-reduces from the "
                         "raw points (arbitrary reducers have no mergeable "
@@ -154,14 +156,27 @@ def main(argv: list[str] | None = None) -> int:
             mvt.read_mbtiles(spark, args.input, zoom=basezoom))
         if args.layer:
             feats = feats.where(F.col("layer") == args.layer)
+        # which feature properties to extract: the agg specs' fields, or —
+        # for a module reducer, whose column needs the CLI cannot infer —
+        # the factory's explicit 'fields' list
+        if reducer_spec is not None:
+            prop_fields = reducer_spec.get("fields")
+            if prop_fields is None:
+                print("--reducer-module with an .mbtiles input needs the "
+                      "factory result to list the feature properties the "
+                      "reducer reads, e.g. {'fields': ['value']} — the CLI "
+                      "cannot infer them from an opaque callable",
+                      file=sys.stderr)
+                return 2
+        else:
+            prop_fields = [s.field for s in specs if s.field]
         pts = feats.where(F.col("geom_type") == "Point").select(
             F.get_json_object("geometry_json", "$.coordinates[0]")
             .cast("double").alias("lon"),
             F.get_json_object("geometry_json", "$.coordinates[1]")
             .cast("double").alias("lat"),
-            *[F.get_json_object("props_json", f"$.{s.field}")
-              .cast("double").alias(s.field)
-              for s in specs if s.field],
+            *[F.get_json_object("props_json", f"$.{f}")
+              .cast("double").alias(f) for f in prop_fields],
         )
         if not args.quiet:
             print(f"mbtiles input: {json.dumps(mbinfo['metadata'])} "

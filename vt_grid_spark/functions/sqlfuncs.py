@@ -46,17 +46,24 @@ _DEFS: dict[str, str] = {
     "vt_tile_lat(y BIGINT, z INT) RETURNS DOUBLE":
         ("DEGREES(ATAN(SINH(PI() * "
          "(1.0 - 2.0 * y / CAST(shiftleft(1, z) AS DOUBLE)))))"),
+    # z=0 guard: Spark's sequence(1, 0) yields the DESCENDING [1, 0], not
+    # an empty array, so the root tile must short-circuit to '' (the same
+    # pitfall _shingles_expr guards with greatest(..., 1))
     "vt_quadkey(x BIGINT, y BIGINT, z INT) RETURNS STRING":
-        ("array_join(transform(sequence(1, z), l -> CAST("
-         "((x >> (z - l)) & 1) + 2 * ((y >> (z - l)) & 1) AS STRING)), '')"),
+        ("CASE WHEN z <= 0 THEN '' ELSE "
+         "array_join(transform(sequence(1, z), l -> CAST("
+         "((x >> (z - l)) & 1) + 2 * ((y >> (z - l)) & 1) AS STRING)), '')"
+         " END"),
     "vt_quadkey_x(qk STRING) RETURNS BIGINT":
-        ("aggregate(transform(sequence(1, length(qk)), "
+        ("CASE WHEN length(qk) = 0 THEN CAST(0 AS BIGINT) ELSE "
+         "aggregate(transform(sequence(1, length(qk)), "
          "l -> CAST(substring(qk, l, 1) AS INT) & 1), "
-         "0L, (a, b) -> a * 2 + b)"),
+         "0L, (a, b) -> a * 2 + b) END"),
     "vt_quadkey_y(qk STRING) RETURNS BIGINT":
-        ("aggregate(transform(sequence(1, length(qk)), "
+        ("CASE WHEN length(qk) = 0 THEN CAST(0 AS BIGINT) ELSE "
+         "aggregate(transform(sequence(1, length(qk)), "
          "l -> CAST(substring(qk, l, 1) AS INT) >> 1), "
-         "0L, (a, b) -> a * 2 + b)"),
+         "0L, (a, b) -> a * 2 + b) END"),
     "vt_parent_x(x BIGINT) RETURNS BIGINT": "shiftright(x, 1)",
     "vt_parent_y(y BIGINT) RETURNS BIGINT": "shiftright(y, 1)",
     "vt_cell_id(x BIGINT, y BIGINT, z INT) RETURNS BIGINT":

@@ -250,13 +250,23 @@ def finalize_columns(specs: list[AggSpec]) -> dict[str, Column]:
             # q-quantile lower bound: first bucket whose cumulative count
             # reaches ceil(q * total), reported as bucket_lo = idx * width.
             # Integer cumsums + an exact ceil comparison — deterministic,
-            # mirrored term-for-term in the DuckDB oracle.
+            # mirrored in the DuckDB oracle (whose per-prefix list_sum is
+            # the same monotone cumsum, so first-match == min-match).
+            # Linear: ONE running-sum fold carrying (run, pos, hit) finds
+            # the index — a per-prefix re-sum was O(buckets^2) per row.
+            # The threshold is hoisted through a single-element transform
+            # (nested higher-order lambdas capture outer variables) so
+            # the total fold runs once, not once per element.
             total = f"aggregate({s.out}, 0L, (a, x) -> a + x)"
             for q in s.quantiles:
                 name = f"{s.out}_p{int(round(q * 100))}"
                 out[name] = F.expr(
-                    f"cast((filter(sequence(1, {s.buckets}), i -> "
-                    f"aggregate(slice({s.out}, 1, i), 0L, (a, x) -> a + x)"
-                    f" >= ceil({q!r} * {total}))[0] - 1) * {s.width!r}"
-                    f" as double)")
+                    f"cast(transform(array(ceil({q!r} * {total})), t -> "
+                    f"aggregate({s.out}, "
+                    f"named_struct('run', 0L, 'pos', 0, 'hit', -1), "
+                    f"(a, x) -> named_struct("
+                    f"'run', a.run + x, 'pos', a.pos + 1, "
+                    f"'hit', CASE WHEN a.hit >= 0 THEN a.hit "
+                    f"WHEN a.run + x >= t THEN a.pos ELSE -1 END), "
+                    f"a -> a.hit))[0] * {s.width!r} as double)")
     return out
