@@ -147,3 +147,26 @@ def cell_area_weight(y: Column, z: int) -> Column:
     lat_n = F.radians(tile_lat(y, z))
     lat_s = F.radians(tile_lat(y + F.lit(1), z))
     return F.sin(lat_n) - F.sin(lat_s)
+
+
+def _spread_bits(v: Column) -> Column:
+    """Interleave zeros between the low 32 bits of v (the classic
+    magic-mask spread, e.g. Morton-code references in HAKMEM / "Bit
+    Twiddling Hacks"): bit i of v lands at bit 2i.  Five shift-or-mask
+    steps, pure codegen."""
+    v = v.bitwiseOR(F.shiftleft(v, 16)).bitwiseAND(F.lit(0x0000FFFF0000FFFF))
+    v = v.bitwiseOR(F.shiftleft(v, 8)).bitwiseAND(F.lit(0x00FF00FF00FF00FF))
+    v = v.bitwiseOR(F.shiftleft(v, 4)).bitwiseAND(F.lit(0x0F0F0F0F0F0F0F0F))
+    v = v.bitwiseOR(F.shiftleft(v, 2)).bitwiseAND(F.lit(0x3333333333333333))
+    v = v.bitwiseOR(F.shiftleft(v, 1)).bitwiseAND(F.lit(0x5555555555555555))
+    return v
+
+
+def morton(x: Column, y: Column) -> Column:
+    """Z-order (Morton) code of a cell: x bits on even positions, y bits
+    on odd — one bigint that linearizes the 2-D grid so RANGE-partitioned,
+    sorted level files carry narrow min/max stats on BOTH x and y (the
+    storage-clustering key behind ``TableIO.write_level(cluster=True)``).
+    Exact for x, y < 2^31 (zooms <= 31 — every zoom the engine uses)."""
+    return _spread_bits(x.cast("long")).bitwiseOR(
+        F.shiftleft(_spread_bits(y.cast("long")), 1))

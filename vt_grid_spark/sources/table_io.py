@@ -43,12 +43,36 @@ class TableIO:
 
     # -- write ---------------------------------------------------------------
     def write_level(self, df: DataFrame, zoom: int, lineage: dict | None = None,
-                    partition_cols: int | None = None) -> dict:
+                    partition_cols: int | None = None,
+                    cluster: bool = False,
+                    cluster_partitions: int | None = None) -> dict:
         """Write one pyramid level; manifest committed AFTER a successful
         write (write-then-commit, so a crash mid-write leaves an incomplete
-        level that resume re-runs)."""
+        level that resume re-runs).
+
+        ``cluster=True`` Z-orders the level on disk: rows are range-
+        partitioned and sorted by the Morton code of (x, y), so every
+        parquet file covers a compact 2-D footprint and its x AND y
+        column stats are narrow — a bbox read then prunes most row
+        groups at the scan (the same reason Delta/Iceberg OPTIMIZE
+        ZORDER exists).  Costs one extra range shuffle per level write;
+        measured footprint shrink in tests/test_zorder.py.
+        ``cluster_partitions`` sets the output file count EXPLICITLY
+        (default: the session's shuffle partitions) — an unsized
+        repartitionByRange lets AQE coalesce a small level down to ~2
+        partitions, whose morton intervals span half the world each and
+        cluster nothing; at production scale size it for ~128 MB files."""
         path = self.level_path(zoom)
         out = df.drop("zoom") if "zoom" in df.columns else df
+        if cluster:
+            from vt_grid_spark import functions as vf
+
+            n_parts = cluster_partitions or int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+            out = (out.withColumn("_mz", vf.morton(F.col("x"), F.col("y")))
+                   .repartitionByRange(n_parts, "_mz")
+                   .sortWithinPartitions("_mz")
+                   .drop("_mz"))
         out.write.mode("overwrite").parquet(path)
 
         # per-partition row counts from parquet FOOTERS (driver-side pyarrow
@@ -66,6 +90,7 @@ class TableIO:
             "row_count": int(sum(files.values())),
             "files": files,
             "lineage": lineage or {},
+            "clustered": bool(cluster),
             "completed_at": time.time(),
         }
         tmp = self.manifest_path(zoom) + ".tmp"
