@@ -95,3 +95,12 @@ def test_clustered_level_files_have_compact_footprints(spark, tmp_path):
          .where((F.col("x").between(300, 400))
                 & (F.col("y").between(300, 400))).collect()}
     assert a == b
+
+    # OPTIMIZE ZORDER post-pass: cluster_level rewrites the plain level
+    # in place — identical content, clustered manifest, lineage marked
+    before = {(r.x, r.y, r.cnt) for r in io_u.read_level(spark, 10).collect()}
+    m2 = io_u.cluster_level(spark, 10, partitions=32)
+    assert m2["clustered"] is True and "+zorder" in m2["lineage"]["op"]
+    after = {(r.x, r.y, r.cnt) for r in io_u.read_level(spark, 10).collect()}
+    assert after == before
+    assert np.mean(footprints(io_u.root)) * 4 <= np.mean(plain)

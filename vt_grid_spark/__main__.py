@@ -70,6 +70,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--export-mbtiles", type=int, default=None, metavar="K",
                    help="also write OUTPUT/grid.mbtiles with 2^K x 2^K "
                         "cells per tile")
+    p.add_argument("--cluster-output", type=int, default=None, metavar="N",
+                   nargs="?", const=0,
+                   help="after the build, rewrite every level Z-ordered "
+                        "(Morton range partition + sort) into N files per "
+                        "level (omit N for the session default) — narrow "
+                        "per-file x/y stats for bbox-scan row-group pruning")
     p.add_argument("--quiet", action="store_true")
     return p
 
@@ -222,6 +228,13 @@ def main(argv: list[str] | None = None) -> int:
             m = manifests[z]
             print(f"zoom={z} rows={m['row_count']} status={m['status']}",
                   file=sys.stderr)
+
+    if args.cluster_output is not None:
+        for z in sorted(manifests, reverse=True):
+            manifests[z] = io.cluster_level(
+                spark, z, partitions=args.cluster_output or None)
+        if not args.quiet:
+            print(f"z-ordered {len(manifests)} levels", file=sys.stderr)
 
     if args.export_mbtiles is not None:
         from vt_grid_spark.sources import mvt

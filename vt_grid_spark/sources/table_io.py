@@ -99,6 +99,21 @@ class TableIO:
         os.replace(tmp, self.manifest_path(zoom))
         return manifest
 
+    def cluster_level(self, spark: SparkSession, zoom: int,
+                      partitions: int | None = None) -> dict:
+        """Rewrite one complete level Z-ordered — the engine's OPTIMIZE
+        ZORDER: a maintenance post-pass, so builds stay one-shuffle-per-
+        level and serving layouts opt in afterwards.  The level is
+        materialized via localCheckpoint before the overwrite (Spark
+        cannot overwrite a path it is still reading); lineage records the
+        rewrite."""
+        df = self.read_level(spark, zoom).localCheckpoint()
+        man = self.read_manifest(zoom)
+        lineage = dict(man.get("lineage", {}))
+        lineage["op"] = f"{lineage.get('op', '?')}+zorder"
+        return self.write_level(df, zoom, lineage=lineage, cluster=True,
+                                cluster_partitions=partitions)
+
     def amend_manifest(self, zoom: int, **extra) -> dict:
         """Merge extra keys into an existing manifest (same atomic
         write-then-replace as the original commit)."""
