@@ -84,21 +84,34 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        k: int = 3) -> DataFrame:
     """(id, mh_0..mh_{n-1}): min over shingles of (a*x + b) mod p.
 
-    The md5-derived shingle hash is materialized ONCE into an int array
-    (`_xs`), then each of the n_hashes minhashes is a cheap arithmetic
-    min-fold over it — 16x fewer md5 evaluations than the naive form.
-    x is reduced mod p before multiplying: keeps a*x < 2^62 (ANSI-safe in
-    Spark 4, overflow-safe in DuckDB) with identical results."""
+    Physical shape (r6): explode the shingle array and compute all
+    n_hashes minhashes as ONE codegen'd hash aggregate (16 `min`
+    expressions) keyed on the id.  The previous form — 16
+    `array_min(transform(...))` higher-order lambdas per row — ran
+    interpreted (HOFs are outside whole-stage codegen) and measured
+    2.5 s per evaluation at sf0.1; the exploded aggregate runs the same
+    arithmetic JIT-compiled with map-side partial mins, so the exchange
+    carries <= one (id, 16 longs) row per doc per task — no wider than
+    the LSH band shuffle the callers already pay.  ``id_col`` must be
+    unique per document (true for every corpus here; duplicate ids would
+    now merge into one signature instead of duplicating rows).
+
+    x is reduced mod p before multiplying: keeps a*x < 2^63 (ANSI-safe in
+    Spark 4, overflow-safe in DuckDB) with identical md5-derived values —
+    the per-element arithmetic is unchanged, so signatures are
+    bit-identical to the oracle's."""
     x = shingle_hash_sql_spark("s")
-    out = df.select(id_col, shingles_col(text_col, k).alias("_sh")).withColumn(
-        "_xs", F.expr(f"transform(_sh, s -> {x} % {MINHASH_P})"))
-    for i in range(n_hashes):
-        a, b = MINHASH_AS[i], MINHASH_BS[i]
-        out = out.withColumn(
-            f"mh_{i}",
-            F.expr(f"array_min(transform(_xs, x -> ({a} * x + {b}) % {MINHASH_P}))"),
-        )
-    return out.drop("_sh", "_xs")
+    # explode_outer: a NULL text yields a NULL shingle array; the doc must
+    # still emit one row of NULL signatures (the pre-r6 HOF behavior)
+    sh = df.select(F.col(id_col),
+                   F.explode_outer(shingles_col(text_col, k)).alias("s"))
+    xs = sh.select(id_col, F.expr(f"{x} % {MINHASH_P}").alias("_x"))
+    aggs = [
+        F.min(F.expr(f"({MINHASH_AS[i]} * _x + {MINHASH_BS[i]}) % {MINHASH_P}")
+              ).alias(f"mh_{i}")
+        for i in range(n_hashes)
+    ]
+    return xs.groupBy(id_col).agg(*aggs)
 
 
 def minhash_bands(sigs: DataFrame, id_col: str = "doc_id",
@@ -150,11 +163,20 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
     joins."""
     min_matches = max(0, int((threshold - est_margin) * n_hashes))
     mh_cols = [f"mh_{i}" for i in range(n_hashes)]
-    sigs = minhash_signatures(df, text_col, id_col, n_hashes, k)
-    # band table WITH the signature carried (one explode — sigs and its md5
-    # pipeline evaluate exactly once, no cache): the prefilter then runs
-    # directly on the band-join output, so no second corpus-sized join is
-    # ever needed (r1 VERDICT's suggested fix for the broadcast blocker)
+    # localCheckpoint the signature table: the band SELF-join evaluates its
+    # input subtree once per side, and the r5 plan re-ran the whole
+    # scan+shingle+md5 pipeline up to ~20x across the join sides, the
+    # candidate-id union and the refine joins (22 parquet scans in the
+    # captured physical plan; no exchange reuse fired).  One eager
+    # materialization of (id, 16 longs) — strictly smaller than the band
+    # shuffle the operator already pays — replaces all of them.  Blocks are
+    # released by the ContextCleaner when the result DataFrame is dropped.
+    sigs = minhash_signatures(df, text_col, id_col, n_hashes, k) \
+        .localCheckpoint()
+    # band table WITH the signature carried (one explode off the
+    # checkpoint): the prefilter then runs directly on the band-join
+    # output, so no second corpus-sized join is ever needed (r1 VERDICT's
+    # suggested fix for the broadcast blocker)
     band_structs = []
     for b in range(n_bands := n_hashes // band_size):
         cols = [f"mh_{i}" for i in range(b * band_size, (b + 1) * band_size)]
@@ -180,6 +202,9 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
     # must shuffle on the bucket key, never broadcast; the signature-
     # agreement prefilter is pure codegen arithmetic applied BEFORE the
     # distinct, so hot-bucket pair floods die without ever shuffling again
+    # cand is consumed three times (two id-projections for the semi-join
+    # reduction + the refine join) — checkpoint the tiny post-distinct
+    # pair list so the band self-join runs once, not three times
     cand = (
         a.join(b_.hint("shuffle_hash"), ["band", "band_hash"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -187,31 +212,55 @@ def minhash_dup_pairs(df: DataFrame, text_col: str = "text",
         .where(F.col("_m") >= min_matches)
         .select("id_a", "id_b")
         .distinct()
+        .localCheckpoint()
     )
 
-    # exact refine over HASHED shingle sets (int64 arrays — far cheaper to
-    # intersect than strings; 32-bit collisions are deterministic and
-    # mirrored in the oracle, so both engines agree exactly)
+    # exact refine over HASHED shingle sets.  Two r6 byte/CPU cuts, both
+    # value-preserving:
+    #   * the 32-bit md5 hash is shifted by -2^31 and stored as INT (a
+    #     bijection, so set sizes — and therefore jac — are unchanged);
+    #     the refine joins ship one array per pair side, so halving the
+    #     element width halves the dominant shuffle of the operator
+    #     (guide §2.3 "narrower types": 1.9M candidate pairs x ~300
+    #     elements each at sf0.1);
+    #   * |A ∪ B| = |A| + |B| - |A ∩ B| for the distinct arrays, so the
+    #     array_union materialization is replaced by integer arithmetic —
+    #     one hash-set build per pair instead of two.
     x = shingle_hash_sql_spark("s")
     sh = df.select(
         F.col(id_col),
-        F.expr(f"array_distinct(transform({_shingles_expr(text_col, k)}, s -> {x}))").alias("_sh"),
+        F.expr(f"array_distinct(transform({_shingles_expr(text_col, k)},"
+               f" s -> cast({x} - 2147483648 as int)))").alias("_sh"),
     )
     # semi-join reduction: only docs that survive as candidates need their
-    # shingle sets materialized — at corpus scale this is a tiny fraction
+    # shingle sets materialized — at corpus scale this is a tiny fraction.
+    # Checkpointed because the refine joins it once per pair side; without
+    # it the corpus-wide shingle-hash projection runs twice.
     ids = cand.select(F.col("id_a").alias(id_col)).unionByName(
         cand.select(F.col("id_b").alias(id_col))).distinct()
-    sh = sh.join(ids, id_col, "left_semi")
+    sh = sh.join(ids, id_col, "left_semi").localCheckpoint()
     cand = (
         cand.join(sh.withColumnRenamed("_sh", "_sha")
                     .withColumnRenamed(id_col, "id_a").hint("shuffle_hash"), "id_a")
         .join(sh.withColumnRenamed("_sh", "_shb")
                 .withColumnRenamed(id_col, "id_b").hint("shuffle_hash"), "id_b")
     )
-    inter = F.size(F.array_intersect("_sha", "_shb")).cast("double")
-    union = F.size(F.array_union("_sha", "_shb")).cast("double")
+    # two-stage threshold: the output predicate round(i/u, 6) >= t would
+    # put the ArrayIntersect expression in the filter tree TWICE (numerator
+    # and denominator) and Spark evaluates it per occurrence — measured 2x
+    # the refine wall at 1.9M candidates.  Stage 1 references the intersect
+    # ONCE via the algebraic rearrangement i*(1+t') >= t'*(|A|+|B|) with
+    # t' = t - 1e-6 (strictly below the 5e-7 worst-case 6dp rounding shift,
+    # so no pair that could round up to >= t is ever dropped — lossless);
+    # stage 2 applies the exact rounded predicate on the tiny remainder.
+    inter = F.size(F.array_intersect("_sha", "_shb"))
+    tp = threshold - 1e-6
+    pre = cand.where(inter.cast("double") * (1.0 + tp)
+                     >= tp * (F.size("_sha") + F.size("_shb")))
     return (
-        cand.withColumn("jac", F.round(inter / union, 6))
+        pre.withColumn("jac", F.round(
+            inter.cast("double")
+            / (F.size("_sha") + F.size("_shb") - inter).cast("double"), 6))
         .where(F.col("jac") >= threshold)
         .select("id_a", "id_b", "jac")
     )
@@ -393,33 +442,41 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     bits 0-59 from hex chars 1-15, bits 60-63 from hex char 16.  Bit 63 is
     the two's-complement sign bit, so the packed value spans the full
     signed-long range.  Pure aggregate expressions — no Python."""
-    sh = (
-        df.select(F.col(id_col), shingles_col(text_col, k).alias("_sh"))
-        .withColumn("_m", F.expr("transform(_sh, s -> md5(s))"))
-        .withColumn("_xs", F.expr(
-            "transform(_m, m -> cast(conv(substring(m, 1, 15), 16, 10) as bigint))"))
-        .withColumn("_xh", F.expr(
-            "transform(_m, m -> cast(conv(substring(m, 16, 1), 16, 10) as bigint))"))
+    # r6 physical shape: explode the shingles and compute the 64 bit votes
+    # as ONE codegen'd hash aggregate — 64 `sum((x >> j) & 1)` columns plus
+    # a count — instead of 64 interpreted `aggregate(...)` lambda folds per
+    # row (measured 5.0 s per evaluation at sf0.1; the exploded aggregate
+    # runs JIT-compiled with map-side partials, shuffling <= one
+    # (id, 65 longs) row per doc per task).  vote_j = sum(+/-1 over
+    # shingles) == 2*ones_j - n, so "vote_j > 0" == "2*ones_j > n" —
+    # identical integer comparison, bit-identical signatures.
+    # explode_outer keeps NULL-text docs as one NULL row -> NULL votes ->
+    # every bit term falls to otherwise(0) -> simhash 0, the pre-r6 value.
+    sh = df.select(F.col(id_col),
+                   F.explode_outer(shingles_col(text_col, k)).alias("s"))
+    # md5 hoisted into its own projection: referenced twice (low/high
+    # split), and CollapseProject keeps multiply-referenced non-cheap
+    # expressions un-inlined, so each shingle is hashed exactly once
+    xs = sh.select(id_col, F.md5("s").alias("_m")).select(
+        id_col,
+        F.expr("cast(conv(substring(_m, 1, 15), 16, 10) as bigint)").alias("_xl"),
+        F.expr("cast(conv(substring(_m, 16, 1), 16, 10) as bigint)").alias("_xh"),
     )
-    votes = [
-        F.expr(
-            f"aggregate(_xs, 0L, (acc, x) -> acc + CASE WHEN (x >> {j}) % 2 = 1"
-            f" THEN 1 ELSE -1 END)"
-        ).alias(f"v_{j}")
+    aggs = [
+        F.sum(F.shiftright("_xl", j).bitwiseAND(F.lit(1))).alias(f"o_{j}")
         for j in range(60)
     ] + [
-        F.expr(
-            f"aggregate(_xh, 0L, (acc, x) -> acc + CASE WHEN (x >> {j - 60}) % 2 = 1"
-            f" THEN 1 ELSE -1 END)"
-        ).alias(f"v_{j}")
+        F.sum(F.shiftright("_xh", j - 60).bitwiseAND(F.lit(1))).alias(f"o_{j}")
         for j in range(60, 64)
-    ]
-    v = sh.select(id_col, *votes)
+    ] + [F.count(F.lit(1)).alias("_n")]
+    v = xs.groupBy(id_col).agg(*aggs)
     bits = None
     for j in range(63):
-        term = F.when(F.col(f"v_{j}") > 0, F.lit(1 << j)).otherwise(F.lit(0))
+        term = F.when(2 * F.col(f"o_{j}") > F.col("_n"),
+                      F.lit(1 << j)).otherwise(F.lit(0))
         bits = term if bits is None else (bits + term)
-    bits = bits + F.when(F.col("v_63") > 0, F.lit(-(1 << 63))).otherwise(F.lit(0))
+    bits = bits + F.when(2 * F.col("o_63") > F.col("_n"),
+                         F.lit(-(1 << 63))).otherwise(F.lit(0))
     return v.select(F.col(id_col), bits.cast("long").alias("simhash"))
 
 
@@ -437,7 +494,12 @@ def simhash_dup_pairs(df: DataFrame, text_col: str = "text",
     and no broadcast — is needed.  Output: (id_a, id_b, hamming)."""
     n_bands = r + 1
     width = 64 // n_bands
-    sigs = simhash64(df, text_col, id_col, k)
+    # localCheckpoint: the band self-join (and the hot-bucket cap's
+    # count+semi pair) evaluate their input subtree once per occurrence —
+    # ~4 full scan+shingle+md5 passes in the r5 plan.  One eager
+    # materialization of (id, signature) replaces them (same rationale and
+    # lifecycle as minhash_dup_pairs).
+    sigs = simhash64(df, text_col, id_col, k).localCheckpoint()
     band_structs = []
     for b in range(n_bands):
         lo = b * width
@@ -587,10 +649,17 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         .join(arrs.withColumnRenamed("_sh", "_shb")
               .withColumnRenamed(id_col, "id_b").hint("shuffle_hash"), "id_b")
     )
+    # same two-stage threshold as minhash_dup_pairs: one ArrayIntersect
+    # evaluation per candidate in the hot filter, exact rounded predicate
+    # on the tiny remainder (t' slack below the 6dp rounding shift keeps
+    # it lossless)
     shared = F.size(F.array_intersect("_sha", "_shb"))
     denom = F.size("_sha") + F.size("_shb") - shared
+    tp = threshold - 1e-6
+    pre = joined.where(shared.cast("double") * (1.0 + tp)
+                       >= tp * (F.size("_sha") + F.size("_shb")))
     return (
-        joined.withColumn("jac", F.round(shared / denom, 6))
+        pre.withColumn("jac", F.round(shared / denom, 6))
         .where(F.col("jac") >= threshold)
         .select("id_a", "id_b", "jac")
     )

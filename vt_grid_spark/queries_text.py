@@ -31,7 +31,25 @@ def _mh_sql(i: int) -> str:
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    """The document corpus, re-spread across the cluster.
+
+    The benchmark parquet is ONE row group, so the bare scan is exactly
+    one task and every downstream shingle/hash expression ran
+    single-threaded (guide §2.5: unsplittable input — repartition right
+    after the read).  Hash-repartition on the unique doc_id: deterministic
+    under task retry (never rand()), ~2 MB of shuffle here, and at
+    production scale a many-file corpus already scans parallel so the
+    extra exchange stays proportional to one pass over the rows."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings.parquet, re-spread like :func:`_docs` (same single
+    row-group input shape; the dot-product/bucket expressions downstream
+    are the expensive part and must run on every core)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
 
 
 # ---------------------------------------------------------------------------
@@ -590,7 +608,7 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vt_grid_spark.operators.similarity import (ann_cosine_topk,
                                                     cosine_topk)
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embs(spark, sf_dir)
     qv = [float(v) for v in emb.where(F.col("vec_id") == 0).collect()[0].embedding]
     brute = cosine_topk(emb, qv, 20).select(
         F.lit("brute").alias("kind"), "rank", "vec_id", "cos")
@@ -704,7 +722,7 @@ def ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale path alongside the LSH one)."""
     from vt_grid_spark.operators.similarity import ivf_topk
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embs(spark, sf_dir)
     qv = [float(v) for v in emb.where(F.col("vec_id") == 0).collect()[0].embedding]
     return ivf_topk(emb, qv, 20, dim=len(qv), n_cells=16, n_probe=4)
 
@@ -762,7 +780,7 @@ def ann_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (exact copies at cos 1.0, +0.02-perturbed copies at cos ~0.98)."""
     from vt_grid_spark.operators.similarity import ann_cosine_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embs(spark, sf_dir)
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select("vec_id", dbl.alias("ve"))
     near = emb.where(F.col("vec_id") % 10 == 0).select(
@@ -826,7 +844,7 @@ def embedding_dup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vt_grid_spark.operators.dedup import dedup_clusters
     from vt_grid_spark.operators.similarity import ann_cosine_pairs
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb = _embs(spark, sf_dir)
     dbl = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select("vec_id", dbl.alias("ve"))
     near = emb.where(F.col("vec_id") % 10 == 0).select(
