@@ -513,7 +513,8 @@ def test_dedup_clusters_star_one_job_per_round(spark):
     sc.setJobGroup("cc-job-audit", "star CC one-job-per-round audit")
     try:
         stats = {}
-        out = dedup_clusters(chain, algorithm="star", stats=stats)
+        out = dedup_clusters(chain, algorithm="star", stats=stats,
+                             small_graph_edges=0)  # audit the distributed path
         n_rows = out.count()
         jobs = sc.statusTracker().getJobIdsForGroup("cc-job-audit")
     finally:
@@ -543,25 +544,36 @@ def test_dedup_clusters_star_equals_hashmin_and_beats_diameter(spark):
     pairs = [(a, b) for a, b in pairs if a != b]
     df = spark.createDataFrame(pairs, "id_a long, id_b long")
     star = {(r.doc_id, r.cluster_rep)
-            for r in dedup_clusters(df, algorithm="star").collect()}
+            for r in dedup_clusters(df, algorithm="star",
+                                    small_graph_edges=0).collect()}
     hm = {(r.doc_id, r.cluster_rep)
           for r in dedup_clusters(df, algorithm="hashmin").collect()}
     assert star == hm and star
 
+    # r6 small-graph fast path (driver union-find) must agree with BOTH
+    # distributed implementations on the same graph, and must flag itself
+    stats = {}
+    fast = {(r.doc_id, r.cluster_rep)
+            for r in dedup_clusters(df, algorithm="star",
+                                    stats=stats).collect()}
+    assert fast == star
+    assert stats.get("small_graph") is True and stats.get("rounds") == 0
+
     # a doc whose only pair is a SELF-pair must still get a label (itself)
-    # from both algorithms — dropping it would silently remove the doc
-    # from a downstream keep-one-per-cluster decision
+    # from both algorithms AND the driver fast path — dropping it would
+    # silently remove the doc from a keep-one-per-cluster decision
     selfp = spark.createDataFrame([(5, 5), (1, 2)], "id_a long, id_b long")
-    for algo in ("star", "hashmin"):
+    for algo, sge in (("star", 0), ("star", 10), ("hashmin", 0)):
         got = {(r.doc_id, r.cluster_rep)
-               for r in dedup_clusters(selfp, algorithm=algo).collect()}
-        assert got == {(1, 1), (2, 1), (5, 5)}, (algo, got)
+               for r in dedup_clusters(selfp, algorithm=algo,
+                                       small_graph_edges=sge).collect()}
+        assert got == {(1, 1), (2, 1), (5, 5)}, (algo, sge, got)
 
     chain = spark.createDataFrame([(i, i + 1) for i in range(300)],
                                   "id_a long, id_b long")
     labels = {r.doc_id: r.cluster_rep
-              for r in dedup_clusters(chain, max_iter=20,
-                                      algorithm="star").collect()}
+              for r in dedup_clusters(chain, max_iter=20, algorithm="star",
+                                      small_graph_edges=0).collect()}
     assert set(labels.values()) == {0} and len(labels) == 301
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(chain, max_iter=20, algorithm="hashmin").collect()

@@ -280,10 +280,53 @@ def _min_nbr(edges: DataFrame) -> DataFrame:
             .select("u", F.least("u", "_mn").alias("m")))
 
 
+# below this many EDGES the connected-components run driver-side (union-
+# find over the collected pair list): every distributed star round costs a
+# fixed ~1 s of scheduling (8 shuffles + a checkpoint) regardless of size,
+# and a pyramid-style bounded driver pass (pyramid.py SMALL_LEVEL_ROWS
+# precedent) collapses a multi-round tail into ~10 ms.  200k edges is
+# ~5 MB collected — far under the driver budget; real web-scale dedup
+# graphs exceed the threshold and keep the O(log n)-round star path.
+SMALL_GRAPH_EDGES = 200_000
+
+
+def _union_find_clusters(rows, out_schema):
+    """Exact driver-side twin of the distributed CC: (node, min id of its
+    component) for every node appearing in the pair list, self-pairs
+    labeling themselves, None ids never unioned (mirrors _sym_edges
+    dropping null-keyed loops)."""
+    parent: dict = {}
+
+    def find(a):
+        root = a
+        while parent[root] != root:
+            root = parent[root]
+        while parent[a] != root:  # path compression
+            parent[a], a = root, parent[a]
+        return root
+
+    for u, v in rows:
+        for n in (u, v):
+            if n is not None and n not in parent:
+                parent[n] = n
+        if u is None or v is None or u == v:
+            continue
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+    rep: dict = {}
+    for n in parent:
+        r = find(n)
+        if r not in rep or n < rep[r]:
+            rep[r] = n
+    return [(n, rep[find(n)]) for n in parent], out_schema
+
+
 def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
                    max_iter: int = 30,
                    algorithm: str = "star",
-                   stats: dict | None = None) -> DataFrame:
+                   stats: dict | None = None,
+                   small_graph_edges: int | None = SMALL_GRAPH_EDGES) -> DataFrame:
     """Connected components over a near-dup pair graph -> (doc_id,
     cluster_rep): the step a real dedup pipeline runs AFTER pair
     generation, so "keep one doc per near-dup CLUSTER" is one groupBy on
@@ -319,7 +362,15 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
 
     ``stats`` (optional dict) receives ``{"rounds": R}`` — the number of
     full large+small star rounds materialized (used by the one-job-per-
-    round test and by bench instrumentation)."""
+    round test and by bench instrumentation).
+
+    ``small_graph_edges`` (star mode only): pair graphs at or below this
+    many edges are clustered driver-side by union-find over the collected
+    checkpoint (identical output; ``stats`` gets ``rounds=0,
+    small_graph=True``) — a bounded hybrid like pyramid.py's
+    SMALL_LEVEL_ROWS, because each distributed star round costs ~1 s of
+    fixed scheduling that dwarfs a tiny graph.  Pass 0/None to force the
+    distributed path (the plan/job-audit tests do)."""
     if algorithm == "hashmin":
         return _dedup_clusters_hashmin(pairs, id_a, id_b, max_iter)
     if algorithm != "star":
@@ -333,6 +384,24 @@ def dedup_clusters(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b",
     # sf0.1 — deriving nodes straight from `pairs` re-ran all of it)
     raw = pairs.select(F.col(id_a).alias("u"),
                        F.col(id_b).alias("v")).localCheckpoint()
+
+    # bounded small-graph fast path (star mode only — the hashmin twin
+    # stays purely distributed so the equality tests keep pinning the
+    # star implementation against an independent one).  The count is an
+    # O(|E|) local scan of the checkpoint blocks just materialized.
+    if small_graph_edges and raw.count() <= small_graph_edges:
+        spark = pairs.sparkSession
+        node_t = raw.select("u").unionByName(
+            raw.select(F.col("v").alias("u"))).schema["u"].dataType
+        from pyspark.sql.types import StructField, StructType
+        out_schema = StructType([StructField("doc_id", node_t),
+                                 StructField("cluster_rep", node_t)])
+        data, out_schema = _union_find_clusters(
+            [(r[0], r[1]) for r in raw.collect()], out_schema)
+        if stats is not None:
+            stats["rounds"] = 0
+            stats["small_graph"] = True
+        return spark.createDataFrame(data, out_schema)
 
     def _fp_metrics():
         # XOR-fold of per-edge hashes: order-independent set fingerprint,

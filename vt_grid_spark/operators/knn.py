@@ -113,8 +113,11 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
               ring: int = 1, point_id: str = "url", query_id: str = "qid",
               broadcast_threshold: int = 100_000,
               rering_steps: int = 2,
+              stats: dict | None = None,
               _small_q: bool | None = None,
-              _persisted: list | None = None) -> DataFrame:
+              _persisted: list | None = None,
+              _n_q: int | None = None,
+              _enc_p: DataFrame | None = None) -> DataFrame:
     """Cell-bucketed EXACT kNN: ring candidates + safety-radius-verified
     top-k, bounded re-ring escalation, brute-force only for the residue.
 
@@ -154,7 +157,18 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     """
     track: list = [] if _persisted is None else _persisted
     n_tiles = 1 << z
-    enc_p = encode_points(points, z, with_quadkey=False)
+    # persist the encoded point table at the TOP level: every escalation
+    # level joins the same (x, y)-encoded points at the same zoom, and the
+    # r5 shape re-evaluated the full upstream point pipeline (scan /
+    # generator + encode) once per level plus once for the brute tail.
+    # Size is |P| x a few columns, distributed, spills to disk; released
+    # with the seams by unpersist_knn.
+    if _enc_p is None:
+        enc_p = encode_points(points, z, with_quadkey=False) \
+            .select(point_id, "lon", "lat", "x", "y").persist()
+        track.append(enc_p)
+    else:
+        enc_p = _enc_p
 
     q = encode_points(queries, z, with_quadkey=False).select(
         F.col(query_id),
@@ -190,35 +204,70 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
 
     # size gate: limit(n+1).count() stops scanning past the threshold, so
     # the probe is O(threshold) regardless of |Q|; probed once at the top
-    # level only (recursion receives the decision via _small_q)
+    # level only (recursion receives the decision via _small_q).  When the
+    # probe comes back under the threshold it IS the exact |Q|, which the
+    # residue arithmetic below reuses — no second count job.
+    n_q = None
     if _small_q is None:
-        small_q = (broadcast_threshold > 0 and
-                   queries.limit(broadcast_threshold + 1).count()
-                   <= broadcast_threshold)
+        if broadcast_threshold > 0:
+            probe = queries.limit(broadcast_threshold + 1).count()
+            small_q = probe <= broadcast_threshold
+            if small_q:
+                n_q = probe
+        else:
+            small_q = False
+        if n_q is None:
+            # one count of the query frame (callers cache expensive query
+            # plans per the docstring); each recursion level inherits its
+            # |Q| from the parent's residue, so this runs once per call
+            n_q = queries.count()
     else:
         small_q = _small_q
+        n_q = _n_q
     cells_j = F.broadcast(cells) if small_q else cells.hint("shuffle_hash")
 
+    # safety-radius PREFILTER (r6): a candidate with d2 >= _bd2 can never
+    # sit in a PROVEN query's top-k — proof demands the kth distance
+    # strictly inside the radius, so if >= k candidates survive this
+    # filter they are exactly the unfiltered top-k (any dropped row has
+    # strictly larger d2, and equal-d2 rows fall on the same side), and
+    # if fewer survive the query was unproven either way.  Identical
+    # proven rows AND identical escalation set, but the filter runs in
+    # the join stage BEFORE the per-query exchange+sort — measured ~3x
+    # fewer rows through the window at the 200k x 500k bench point
+    # (ring area vs inscribed safety circle).
     cand = enc_p.join(cells_j, ["x", "y"]).withColumn(
         "d2", _d2(F.col("_qlon"), F.col("_qlat"), F.col("lon"), F.col("lat"))
-    )
-    w = Window.partitionBy(query_id).orderBy(F.col("d2").asc(), F.col(point_id).asc())
-    topk = (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id, "rank", F.col(point_id), "d2", "_bd2")
-    )
+    ).where(F.col("d2") < F.col("_bd2"))
 
+    # per-query top-k as ONE hash aggregation (r6): collect the surviving
+    # candidates per query, array_sort the (d2, id) structs — the struct
+    # field order IS the window's (d2 asc, id asc) tie-break — and slice
+    # the first k.  Replaces the r5 Exchange+Sort+rank-Window+two-more-
+    # Window chain: no total sort of the multi-million-row candidate
+    # relation, just an O(c log c) sort of each query's own c candidates
+    # (c ~ tens post-prefilter).  Verified row-identical against the
+    # window form at the 200k x 500k bench point.
+    #
     # keep a query's ring answer only when it is PROVEN: >= k candidates
     # and the kth distance strictly inside the safety radius — otherwise a
     # true neighbor could hide just outside the ring (the adversarial
-    # sparse-cell case in tests/test_spatial.py)
-    wq = Window.partitionBy(query_id)
+    # sparse-cell case in tests/test_spatial.py).  With the prefilter the
+    # kth-distance check is implied (every kept candidate is inside the
+    # radius), but it stays as a cheap belt-and-braces guard.
+    agg = cand.groupBy(query_id).agg(
+        F.slice(F.array_sort(F.collect_list(F.struct("d2", point_id))),
+                1, k).alias("_top"),
+        F.count(F.lit(1)).alias("_n"),
+        F.min("_bd2").alias("_bd2"),
+    )
     proven = (
-        topk.withColumn("_n", F.count(F.lit(1)).over(wq))
-        .withColumn("_d2k", F.max("d2").over(wq))
-        .where((F.col("_n") >= k) & (F.col("_d2k") < F.col("_bd2")))
-        .select(query_id, "rank", F.col(point_id), "d2")
+        agg.where((F.col("_n") >= k)
+                  & (F.element_at("_top", k)["d2"] < F.col("_bd2")))
+        .select(query_id, F.posexplode("_top").alias("_pos", "_t"))
+        .select(query_id, (F.col("_pos") + 1).alias("rank"),
+                F.col(f"_t.{point_id}").alias(point_id),
+                F.col("_t.d2").alias("d2"))
     )
     # persist: `proven` feeds BOTH the output union and the escalation
     # anti-join; without it each escalation level re-evaluates the whole
@@ -230,26 +279,50 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     track.append(proven)
 
     # escalate the rest (includes queries with an empty ring, which never
-    # reach topk).  ADAPTIVE: counting esc_q materializes this level into
-    # the persisted seam (work the final action needed anyway) and tells
-    # us the true residue — 0 means DONE (skip both the wider ring and
-    # the brute scan of P); >0 always prefers a wider ring while steps
-    # remain, because the brute fallback windows |residue| x |P| rows in
-    # one sorted partition per query (measured: 350 s brute-first vs 18 s
-    # re-ring-first at a 37.5k-query sparse case).
+    # reach topk).  ADAPTIVE with arithmetic residue (r6): counting
+    # `proven` materializes this level into the persisted seam (work the
+    # final action needed anyway), and because a proven query contributes
+    # EXACTLY k rows (rank <= k filtered on _n >= k), the residue is
+    # |Q| - count(proven)/k — the r5 shape instead ran a
+    # distinct+anti-join job per level just to count it, then re-evaluated
+    # the same anti-join inside the next level's materialization.  The
+    # anti-join is still built (lazily) to FEED the escalation, but now
+    # executes once, fused into the next level's own job.  Residue 0 means
+    # DONE (skip both the wider ring and the brute scan of P); >0 always
+    # prefers a wider ring while steps remain, because the brute fallback
+    # windows |residue| x |P| rows in one sorted partition per query
+    # (measured: 350 s brute-first vs 18 s re-ring-first at a 37.5k-query
+    # sparse case).
+    import time as _time
+
+    t0 = _time.perf_counter()
+    n_proven_rows = proven.count()
+    if n_proven_rows % k:
+        raise AssertionError(
+            f"proven must hold exactly k={k} rows per proven query, got "
+            f"{n_proven_rows} rows — the _n >= k window filter changed?")
+    n_esc = n_q - n_proven_rows // k
+    if stats is not None:
+        stats.setdefault("levels", []).append(
+            {"ring": ring, "n_q": n_q, "residue": n_esc,
+             "level_wall": round(_time.perf_counter() - t0, 3)})
     esc_q = queries.join(
         proven.select(query_id).distinct(), query_id, "left_anti")
-    n_esc = esc_q.count()
     if n_esc == 0:
         rest = None
     elif rering_steps > 0:
         rest = knn_cells(points, esc_q, k, z=z, ring=2 * ring + 1,
                          point_id=point_id, query_id=query_id,
                          broadcast_threshold=broadcast_threshold,
-                         rering_steps=rering_steps - 1,
-                         _small_q=small_q, _persisted=track)
+                         rering_steps=rering_steps - 1, stats=stats,
+                         _small_q=small_q, _persisted=track, _n_q=n_esc,
+                         _enc_p=enc_p)
     else:
-        rest = knn_bruteforce(points, esc_q, k,
+        # brute tail reads the persisted encoded table too (it carries
+        # the id + lon/lat the cross join needs) instead of re-running
+        # the raw point pipeline one more time
+        rest = knn_bruteforce(enc_p.select(point_id, "lon", "lat"),
+                              esc_q, k,
                               point_id=point_id, query_id=query_id)
     out = proven if rest is None else proven.unionByName(rest)
     if _persisted is None:  # top level: expose handles for unpersist_knn

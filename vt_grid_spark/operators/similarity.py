@@ -115,25 +115,45 @@ def ann_cosine_pairs(df: DataFrame, dim: int, threshold: float,
     are shuffle joins on unique-ish keys — no broadcast.  Output
     (id_a, id_b, cos); recall vs brute force is tested in pytest."""
     ids_vec = df.select(id_col, vec_col)
+    # localCheckpoint the bucket table: the (tbl, bucket) SELF-join — and
+    # the hot-bucket cap's count+semi pair — evaluate their input subtree
+    # once per occurrence, and the 32 hyperplane projections are
+    # interpreted higher-order folds (the r5 plan re-ran them ~4x).  One
+    # eager materialization of (id, tbl, bucket) replaces all of them
+    # (minhash_dup_pairs rationale; blocks freed by the ContextCleaner).
     bucketed = lsh_bucket_tables(ids_vec, dim, n_planes, n_tables, vec_col) \
-        .select(id_col, "tbl", "bucket")
+        .select(id_col, "tbl", "bucket").localCheckpoint()
     if max_bucket is not None:
         from vt_grid_spark.operators.dedup import cap_hot_buckets
         bucketed = cap_hot_buckets(bucketed, ["tbl", "bucket"], max_bucket)
     a = bucketed.select(F.col(id_col).alias("id_a"), "tbl", "bucket")
     b = bucketed.select(F.col(id_col).alias("id_b"), "tbl", "bucket")
+    # cand feeds the id-union semi-join AND the refine join — checkpoint
+    # the post-distinct pair list so the bucket self-join runs once
     cand = (
         a.join(b.hint("shuffle_hash"), ["tbl", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
+        .localCheckpoint()
     )
+    # refine vectors: semi-join to candidate ids, carry the norm ONCE per
+    # vector (sqrt(dot(v, v)) exactly as before — computing it per vector
+    # instead of per pair changes no float operation, only how often it
+    # runs), checkpoint so each pair side reads the same materialization
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    va = ids_vec.select(F.col(id_col).alias("id_a"), v.alias("_va"))
-    vb = ids_vec.select(F.col(id_col).alias("id_b"), v.alias("_vb"))
+    ids = cand.select(F.col("id_a").alias(id_col)).unionByName(
+        cand.select(F.col("id_b").alias(id_col))).distinct()
+    vt = (ids_vec.join(ids, id_col, "left_semi")
+          .select(F.col(id_col), v.alias("_v"))
+          .withColumn("_n", _norm(F.col("_v")))
+          .localCheckpoint())
+    va = vt.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va"),
+                   F.col("_n").alias("_na"))
+    vb = vt.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb"),
+                   F.col("_n").alias("_nb"))
     cos = F.round(
-        _dot(F.col("_va"), F.col("_vb"))
-        / (_norm(F.col("_va")) * _norm(F.col("_vb"))), 6)
+        _dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")), 6)
     return (
         cand.join(va.hint("shuffle_hash"), "id_a")
         .join(vb.hint("shuffle_hash"), "id_b")

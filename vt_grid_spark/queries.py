@@ -66,14 +66,22 @@ FROM enc GROUP BY x, y
 """,
 )
 def cell_encode_z12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6: group on the integer (x, y) only and re-derive the quadkey on
+    the aggregate — the build path's shuffle hygiene (encode.py
+    cell_aggregate).  The r5 form carried the 12-char quadkey string
+    through the exchange (~1.5x shuffle width at base zoom) and
+    contradicted its own PLANS.md annotation (r5 VERDICT "What's wrong"
+    #1).  quadkey is a pure function of (x, y), so the output is
+    byte-identical."""
     pts = _pts(spark, sf_dir).withColumn("chars", F.length("text").cast("long"))
     from vt_grid_spark.operators.encode import encode_points
 
-    enc = encode_points(pts, 12)
+    enc = encode_points(pts, 12, with_quadkey=False)
     return (
-        enc.groupBy("x", "y", "quadkey")
+        enc.groupBy("x", "y")
         .agg(F.count(F.lit(1)).alias("cnt"), F.sum("chars").alias("sum_chars"))
-        .select("x", "y", "quadkey", "cnt", "sum_chars")
+        .select("x", "y", vf.quadkey(F.col("x"), F.col("y"), 12).alias("quadkey"),
+                "cnt", "sum_chars")
     )
 
 
@@ -311,7 +319,12 @@ FROM enc GROUP BY x, y
 def lineitem_cells_z10(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vt_grid_spark.operators.encode import encode_points
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+    # one-row-group benchmark parquet -> one scan task; re-spread so the
+    # encode arithmetic + partial aggregation run on every core (same
+    # rationale as queries_text._docs; ~10 MB shuffle)
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "l_orderkey", "l_linenumber"
+    ).select(
         (F.lit(-180.0) + ((F.col("l_orderkey") * 7 + F.col("l_linenumber")) % 36000).cast("double") / 100.0).alias("lon"),
         (F.lit(-85.0) + ((F.col("l_partkey") * 13) % 17000).cast("double") / 100.0).alias("lat"),
         F.col("l_quantity").alias("qty"),

@@ -495,7 +495,8 @@ FROM p ASOF LEFT JOIN clicks c
 def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vt_grid_spark.operators.asof import asof_join
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "event_id") \
         .withColumn("ts", F.col("ts").cast("timestamp"))
     clicks = ev.where(F.col("event_type") == "click") \
         .select("user_id", "ts", "event_id")
@@ -837,7 +838,8 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap math, exact cross-engine)."""
     from vt_grid_spark.streaming.sessions import sessionize_batch
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "event_id")
     return sessionize_batch(events, gap_s=14400)
 
 

@@ -925,7 +925,8 @@ FROM enc GROUP BY window_start, x, y
 def events_windowed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vt_grid_spark.streaming.events import windowed_cell_counts
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
+        spark.sparkContext.defaultParallelism, "event_id")
     return windowed_cell_counts(events, z=6, window="1 day")
 
 
