@@ -250,25 +250,34 @@ def incremental_update(delta_points: DataFrame, plan: PyramidPlan,
         touched = existing.join(F.broadcast(keys), ["x", "y"], "left_semi")
         merged = merge_cells([touched, delta], cell_z, specs)
         cols = merged.columns
-        # localCheckpoint materializes the new level BEFORE write_level
-        # overwrites the path it was lazily reading from (self-overwrite
-        # would delete the input mid-job)
-        new_level = (untouched.select(*cols).unionByName(merged)
-                     .localCheckpoint(eager=True))
+        # staged write (r6): the merged plan lazily reads the level it
+        # replaces, so the parquet backend writes to a sibling dir and
+        # swaps after success — ONE materialization per level instead of
+        # an eager localCheckpoint followed by a second full write.  The
+        # catalog backend has no stage knob; fall back to the checkpoint
+        # there (createOrReplace may not be atomic against its own input).
+        new_level = untouched.select(*cols).unionByName(merged)
+        staged = type(io).write_level is TableIO.write_level
+        if not staged:
+            new_level = new_level.localCheckpoint(eager=True)
         old = io.read_manifest(cell_z)
-        manifests[cell_z] = io.write_level(
-            new_level, cell_z,
-            lineage={"input": f"zoom={cell_z}+delta", "op": "incremental-merge",
-                     "output_tile_zoom": output_z,
-                     "previous_row_count": old.get("row_count")},
-        )
+        lineage = {"input": f"zoom={cell_z}+delta", "op": "incremental-merge",
+                   "output_tile_zoom": output_z,
+                   "previous_row_count": old.get("row_count")}
+        if staged:
+            manifests[cell_z] = io.write_level(new_level, cell_z,
+                                               lineage=lineage, stage=True)
+        else:
+            manifests[cell_z] = io.write_level(new_level, cell_z,
+                                               lineage=lineage)
         # hot-key bookkeeping stays valid: recompute the max over the
-        # MATERIALIZED checkpoint (merged's own lineage would re-read the
-        # level files this write just replaced)
+        # JUST-COMMITTED level files (the merged plan's own lineage would
+        # re-read the level files this write replaced)
         if old.get("max_cell_rows") is not None:
             count_col = next((s.out for s in specs if s.reducer == "count"), None)
             if count_col is not None:
-                row = new_level.agg(F.max(count_col)).collect()[0]
+                row = io.read_level(spark, cell_z) \
+                    .agg(F.max(count_col)).collect()[0]
                 mx = int(row[0]) if row[0] is not None else 0
                 manifests[cell_z] = io.amend_manifest(cell_z, max_cell_rows=mx)
         prev_cell_z = cell_z

@@ -495,8 +495,7 @@ FROM p ASOF LEFT JOIN clicks c
 def purchase_attribution_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vt_grid_spark.operators.asof import asof_join
 
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
-        spark.sparkContext.defaultParallelism, "event_id") \
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet") \
         .withColumn("ts", F.col("ts").cast("timestamp"))
     clicks = ev.where(F.col("event_type") == "click") \
         .select("user_id", "ts", "event_id")
@@ -838,8 +837,7 @@ def event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap math, exact cross-engine)."""
     from vt_grid_spark.streaming.sessions import sessionize_batch
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
-        spark.sparkContext.defaultParallelism, "event_id")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
     return sessionize_batch(events, gap_s=14400)
 
 
@@ -1113,17 +1111,19 @@ def incremental_update_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
         io = TableIO(d)
         build_pyramid(pts.where(split != 0), plan, io, resume=False)
         incremental_update(pts.where(split == 0), plan, io)
-        rows = [io.read_level(spark, z)
-                  .select(F.col("zoom").cast("long").alias("zoom"),
-                          "x", "y", "quadkey", "cnt", "sum_chars")
-                  .toPandas()
-                for z in (8, 7, 6)]
+        # one eager localCheckpoint of the 3-level union (r6): the levels
+        # must be materialized before the temp dir is removed, and the
+        # checkpoint does it in a single distributed job — the r5 form
+        # round-tripped each level through the driver (3 toPandas collects
+        # + a createDataFrame re-upload)
+        lv = [io.read_level(spark, z)
+                .select(F.col("zoom").cast("long").alias("zoom"),
+                        "x", "y", "quadkey", "cnt", "sum_chars")
+              for z in (8, 7, 6)]
+        return lv[0].unionByName(lv[1]).unionByName(lv[2]) \
+            .localCheckpoint(eager=True)
     finally:
         shutil.rmtree(d, ignore_errors=True)
-    import pandas as pd
-    return spark.createDataFrame(
-        pd.concat(rows),
-        "zoom long, x long, y long, quadkey string, cnt long, sum_chars long")
 
 
 # ---------------------------------------------------------------------------

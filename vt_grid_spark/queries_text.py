@@ -30,7 +30,7 @@ def _mh_sql(i: int) -> str:
     return (f"list_min(list_transform(sh, s -> ({a} * {_X32} + {b}) % {MINHASH_P}))")
 
 
-def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs(spark: SparkSession, sf_dir: str, spread: bool = True) -> DataFrame:
     """The document corpus, re-spread across the cluster.
 
     The benchmark parquet is ONE row group, so the bare scan is exactly
@@ -39,17 +39,25 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     after the read).  Hash-repartition on the unique doc_id: deterministic
     under task retry (never rand()), ~2 MB of shuffle here, and at
     production scale a many-file corpus already scans parallel so the
-    extra exchange stays proportional to one pass over the rows."""
+    extra exchange stays proportional to one pass over the rows.
+
+    ``spread=False`` skips the exchange for queries whose per-row work is
+    one hash/projection (dedup_exact, dedup_first_arrival): there the
+    extra stage costs more than single-task md5 over the corpus saves —
+    measured +0.3-0.4 s each at sf0.1."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if not spread:
+        return docs
     return docs.repartition(spark.sparkContext.defaultParallelism, "doc_id")
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embeddings.parquet, re-spread like :func:`_docs` (same single
-    row-group input shape; the dot-product/bucket expressions downstream
-    are the expensive part and must run on every core)."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return emb.repartition(spark.sparkContext.defaultParallelism, "vec_id")
+    """embeddings.parquet.  A defaultParallelism repartition was tried
+    here in r6 and REVERTED by measurement: at 2k vectors the extra
+    exchange cost more than the scan-side parallelism bought on every
+    embedding query (cosine_topk 0.73 -> 0.9 s, ann_cosine_pairs flat);
+    the heavy consumers checkpoint their derived tables instead."""
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -69,7 +77,7 @@ FROM corpus GROUP BY fp HAVING COUNT(*) > 1
 """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    docs = _docs(spark, sf_dir, spread=False).select("doc_id", "text")
     dups = docs.where(F.col("doc_id") % 10 == 0).withColumn(
         "doc_id", F.col("doc_id") + 1_000_000)
     corpus = docs.unionByName(dups)
@@ -568,10 +576,10 @@ def dedup_first_arrival(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_streaming_custom.py::test_streaming_dedup_equals_batch."""
     from vt_grid_spark.streaming.dedup import dedup_batch
 
-    docs = _docs(spark, sf_dir).select(
+    docs = _docs(spark, sf_dir, spread=False).select(
         "doc_id", "text",
         F.timestamp_seconds(1_700_000_000 + F.col("doc_id")).alias("ts"))
-    replays = _docs(spark, sf_dir).where(F.col("doc_id") % 10 == 0).select(
+    replays = _docs(spark, sf_dir, spread=False).where(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 1_000_000).alias("doc_id"), "text",
         F.timestamp_seconds(1_700_000_000 + F.col("doc_id") + 600).alias("ts"))
     out = dedup_batch(docs.unionByName(replays))
@@ -925,8 +933,7 @@ FROM enc GROUP BY window_start, x, y
 def events_windowed_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     from vt_grid_spark.streaming.events import windowed_cell_counts
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet").repartition(
-        spark.sparkContext.defaultParallelism, "event_id")
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
     return windowed_cell_counts(events, z=6, window="1 day")
 
 

@@ -45,7 +45,8 @@ class TableIO:
     def write_level(self, df: DataFrame, zoom: int, lineage: dict | None = None,
                     partition_cols: int | None = None,
                     cluster: bool = False,
-                    cluster_partitions: int | None = None) -> dict:
+                    cluster_partitions: int | None = None,
+                    stage: bool = False) -> dict:
         """Write one pyramid level; manifest committed AFTER a successful
         write (write-then-commit, so a crash mid-write leaves an incomplete
         level that resume re-runs).
@@ -61,7 +62,16 @@ class TableIO:
         (default: the session's shuffle partitions) — an unsized
         repartitionByRange lets AQE coalesce a small level down to ~2
         partitions, whose morton intervals span half the world each and
-        cluster nothing; at production scale size it for ~128 MB files."""
+        cluster nothing; at production scale size it for ~128 MB files.
+
+        ``stage=True`` writes to a sibling ``.inprogress`` directory and
+        swaps it into place after the job succeeds — for writers whose
+        input PLAN reads the level being replaced (incremental_update):
+        the write job itself is then the only materialization, instead of
+        an eager localCheckpoint followed by a second full write (r6; the
+        swap is no less atomic than the overwrite it replaces, and a
+        crash mid-swap still leaves the manifest uncommitted, so resume
+        re-runs the level)."""
         path = self.level_path(zoom)
         out = df.drop("zoom") if "zoom" in df.columns else df
         if cluster:
@@ -73,7 +83,16 @@ class TableIO:
                    .repartitionByRange(n_parts, "_mz")
                    .sortWithinPartitions("_mz")
                    .drop("_mz"))
-        out.write.mode("overwrite").parquet(path)
+        if stage:
+            import shutil
+
+            tmp_path = path + ".inprogress"
+            shutil.rmtree(tmp_path, ignore_errors=True)
+            out.write.mode("overwrite").parquet(tmp_path)
+            shutil.rmtree(path, ignore_errors=True)
+            os.replace(tmp_path, path)
+        else:
+            out.write.mode("overwrite").parquet(path)
 
         # per-partition row counts from parquet FOOTERS (driver-side pyarrow
         # metadata read, no Spark job) — a read-back count job per level was
