@@ -234,15 +234,25 @@ def incremental_update(delta_points: DataFrame, plan: PyramidPlan,
                 "partial build)")
 
     manifests: dict[int, dict] = {}
-    delta = cell_aggregate(_apply_cover(delta_points, plan, base_cell_z),
-                           base_cell_z,
-                           compile_aggs(base_band.aggregations)).persist()
+    staged = type(io).write_level is TableIO.write_level
+    # phase 1 — the per-level delta partial chain, ALL levels persisted up
+    # front (r6): the r5 loop unpersisted each level before its child
+    # materialized, so every level's broadcast re-ran the whole delta
+    # aggregation from raw points.  The chain is materialized by the merge
+    # jobs below and released once every level is committed.
+    cur = cell_aggregate(_apply_cover(delta_points, plan, base_cell_z),
+                         base_cell_z,
+                         compile_aggs(base_band.aggregations)).persist()
+    work: list[tuple] = []
     prev_cell_z = None
     for output_z, cell_z, band in levels:
         if prev_cell_z is not None:
-            nxt = rollup_level(delta, prev_cell_z, band.aggregations).persist()
-            delta.unpersist()
-            delta = nxt
+            cur = rollup_level(cur, prev_cell_z, band.aggregations).persist()
+        work.append((output_z, cell_z, band, cur))
+        prev_cell_z = cell_z
+
+    def _merge_level(item):
+        output_z, cell_z, band, delta = item
         specs = band.aggregations
         existing = io.read_level(spark, cell_z)
         keys = delta.select("x", "y")
@@ -257,7 +267,6 @@ def incremental_update(delta_points: DataFrame, plan: PyramidPlan,
         # catalog backend has no stage knob; fall back to the checkpoint
         # there (createOrReplace may not be atomic against its own input).
         new_level = untouched.select(*cols).unionByName(merged)
-        staged = type(io).write_level is TableIO.write_level
         if not staged:
             new_level = new_level.localCheckpoint(eager=True)
         old = io.read_manifest(cell_z)
@@ -265,23 +274,36 @@ def incremental_update(delta_points: DataFrame, plan: PyramidPlan,
                    "output_tile_zoom": output_z,
                    "previous_row_count": old.get("row_count")}
         if staged:
-            manifests[cell_z] = io.write_level(new_level, cell_z,
-                                               lineage=lineage, stage=True)
+            m = io.write_level(new_level, cell_z, lineage=lineage, stage=True)
         else:
-            manifests[cell_z] = io.write_level(new_level, cell_z,
-                                               lineage=lineage)
+            m = io.write_level(new_level, cell_z, lineage=lineage)
         # hot-key bookkeeping stays valid: recompute the max over the
         # JUST-COMMITTED level files (the merged plan's own lineage would
         # re-read the level files this write replaced)
         if old.get("max_cell_rows") is not None:
-            count_col = next((s.out for s in specs if s.reducer == "count"), None)
+            count_col = next((s.out for s in specs
+                              if s.reducer == "count"), None)
             if count_col is not None:
                 row = io.read_level(spark, cell_z) \
                     .agg(F.max(count_col)).collect()[0]
                 mx = int(row[0]) if row[0] is not None else 0
-                manifests[cell_z] = io.amend_manifest(cell_z, max_cell_rows=mx)
-        prev_cell_z = cell_z
-    delta.unpersist()
+                m = io.amend_manifest(cell_z, max_cell_rows=mx)
+        return cell_z, m
+
+    # phase 2 — once the delta chain exists the per-level merges are
+    # independent of each other: run them from a small thread pool so one
+    # level's write tail back-fills with the next level's tasks (guide
+    # §2.6 overlapping independent jobs).  Parquet backend only — the
+    # catalog backend appends every manifest to ONE journal table, which
+    # concurrent v1 appends could corrupt.
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = min(4, len(work)) if staged else 1
+    with ThreadPoolExecutor(max_workers=max(workers, 1)) as pool:
+        for cell_z, m in pool.map(_merge_level, work):
+            manifests[cell_z] = m
+    for *_, d in work:
+        d.unpersist()
     return manifests
 
 

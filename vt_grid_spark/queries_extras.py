@@ -10,6 +10,7 @@ a stored snapshot of our own output).
 from __future__ import annotations
 
 import json
+import os
 
 import numpy as np
 from pyspark.sql import DataFrame, SparkSession
@@ -346,7 +347,9 @@ def pyramid_manifests(spark: SparkSession, sf_dir: str) -> DataFrame:
         bands=[ZoomBand(basezoom=13, minzoom=6,
                         aggregations=[AggSpec(out="c", reducer="count")])],
         gridsize=1)
-    d = tempfile.mkdtemp(prefix="vtgrid_manifest_q_")
+    d = tempfile.mkdtemp(
+        prefix="vtgrid_manifest_q_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
     try:
         manifests = build_pyramid(pts, plan, TableIO(d), resume=False)
         rows = [(int(m["zoom"]), int(m["row_count"]), str(m["status"]),
@@ -646,7 +649,9 @@ def mbtiles_ingest_z6(spark: SparkSession, sf_dir: str) -> DataFrame:
                  for j in range(i % 5 + 2)]
         tiles.append((z, 30 + i % 4, 20 + i // 4,
                       mvt.encode_tile({"pages": feats})))
-    d = tempfile.mkdtemp(prefix="vtgrid_mbt_q_")
+    d = tempfile.mkdtemp(
+        prefix="vtgrid_mbt_q_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
     try:
         path = f"{d}/in.mbtiles"
         mvt.write_mbtiles(path, tiles)
@@ -705,7 +710,9 @@ def mbtiles_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tiles = mvt.cells_to_mvt_tiles(cells, cell_z=8, k=k, layer="cells",
                                    props=["cnt", "sum_chars"])
-    d = tempfile.mkdtemp(prefix="vtgrid_mbt_sink_")
+    d = tempfile.mkdtemp(
+        prefix="vtgrid_mbt_sink_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
     try:
         path = f"{d}/out.mbtiles"
         mvt.write_mbtiles_df(tiles, path)
@@ -1106,7 +1113,9 @@ def incremental_update_z8(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               field="chars")])],
         gridsize=1)  # cell zooms 8..6 (output starts at basezoom-1)
     split = F.pmod(F.xxhash64("url"), F.lit(4))
-    d = tempfile.mkdtemp(prefix="vtgrid_inc_q_")
+    d = tempfile.mkdtemp(
+        prefix="vtgrid_inc_q_",
+        dir="/dev/shm" if os.path.isdir("/dev/shm") else None)
     try:
         io = TableIO(d)
         build_pyramid(pts.where(split != 0), plan, io, resume=False)
