@@ -4,9 +4,10 @@ hasProgeny neighborhood machinery, /root/reference/lib/tile-util.js).
 Two physical strategies:
 
   * ``knn_bruteforce`` — queries × points cross join (queries broadcast),
-    exact distance, per-query top-k window.  O(|Q|·|P|) but fully
-    distributed over P; right when |Q| is small.  SQL-expressible → this
-    is the oracle-checked variant.
+    exact distance, per-query top-k via a salted two-phase aggregation
+    (r6; parallelism |Q| x salt_buckets instead of |Q|).  O(|Q|·|P|) but
+    fully distributed over P; right when |Q| is small.  SQL-expressible →
+    this is the oracle-checked variant.
 
   * ``knn_cells`` — the scale path: both sides encoded at a zoom; each
     query joins only points in its cell's square ring neighborhood, with
@@ -34,7 +35,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from vt_grid_spark import functions as vf
@@ -50,8 +51,18 @@ def _d2(qlon, qlat, plon, plat):
 
 
 def knn_bruteforce(points: DataFrame, queries: DataFrame, k: int,
-                   point_id: str = "url", query_id: str = "qid") -> DataFrame:
-    """Exact kNN, queries broadcast. Output: (qid, rank, point_id, d2)."""
+                   point_id: str = "url", query_id: str = "qid",
+                   salt_buckets: int = 64) -> DataFrame:
+    """Exact kNN, queries broadcast. Output: (qid, rank, point_id, d2).
+
+    Two-phase salted top-k (r6): the r5 window form partitioned the
+    |Q| x |P| cross join by query id alone, so a 4-query brute pass
+    sorted 2M rows in 4 tasks while the other 28 cores idled.  Phase 1
+    takes each (query, salt)'s top-k — the salt is a deterministic hash
+    of the point id (never rand(); guide §2.5 retry rule) — giving
+    |Q| x salt_buckets parallel groups; phase 2 merges the
+    salt_buckets * k survivors per query.  The struct sort (d2 asc, id
+    asc) is the window's exact order, so rows and ranks are identical."""
     q = queries.select(
         F.col(query_id),
         F.col("lon").alias("_qlon"), F.col("lat").alias("_qlat"),
@@ -59,11 +70,22 @@ def knn_bruteforce(points: DataFrame, queries: DataFrame, k: int,
     cand = points.crossJoin(F.broadcast(q)).withColumn(
         "d2", _d2(F.col("_qlon"), F.col("_qlat"), F.col("lon"), F.col("lat"))
     )
-    w = Window.partitionBy(query_id).orderBy(F.col("d2").asc(), F.col(point_id).asc())
+    salt = F.pmod(F.xxhash64(F.col(point_id)), F.lit(salt_buckets))
+    part = (
+        cand.groupBy(F.col(query_id), salt.alias("_s"))
+        .agg(F.slice(F.array_sort(F.collect_list(F.struct("d2", point_id))),
+                     1, k).alias("_top"))
+    )
+    merged = (
+        part.select(query_id, F.explode("_top").alias("_t"))
+        .groupBy(query_id)
+        .agg(F.slice(F.array_sort(F.collect_list("_t")), 1, k).alias("_top"))
+    )
     return (
-        cand.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id, "rank", F.col(point_id), "d2")
+        merged.select(query_id, F.posexplode("_top").alias("_pos", "_t"))
+        .select(query_id, (F.col("_pos") + 1).alias("rank"),
+                F.col(f"_t.{point_id}").alias(point_id),
+                F.col("_t.d2").alias("d2"))
     )
 
 
