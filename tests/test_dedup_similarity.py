@@ -577,3 +577,22 @@ def test_dedup_clusters_star_equals_hashmin_and_beats_diameter(spark):
     assert set(labels.values()) == {0} and len(labels) == 301
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup_clusters(chain, max_iter=20, algorithm="hashmin").collect()
+
+
+def test_signatures_keep_null_and_empty_text_rows(spark):
+    """r6 explode_outer edge: the codegen-aggregate signature rewrite must
+    keep one output row per doc even when the text is NULL (NULL shingle
+    array) or empty — the pre-r6 higher-order-function forms emitted NULL
+    minhashes / simhash 0 for a NULL text and real values for ''."""
+    from vt_grid_spark.operators.dedup import minhash_signatures, simhash64
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, None), (3, "")],
+        "doc_id long, text string")
+    mh = {r.doc_id: r for r in minhash_signatures(df).collect()}
+    assert set(mh) == {1, 2, 3}
+    assert mh[2].mh_0 is None and mh[2].mh_15 is None
+    assert mh[1].mh_0 is not None and mh[3].mh_0 is not None
+    sh = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+    assert set(sh) == {1, 2, 3}
+    assert sh[2] == 0 and isinstance(sh[1], int)

@@ -393,6 +393,15 @@ def cells_to_mvt_tiles(cells, cell_z: int, k: int, layer: str = "cells",
               .agg(F.collect_list(F.struct(
                   F.col("x"), F.col("y"),
                   *[F.col(c) for c in prop_cols])).alias("_cells")))
+    # pin the encode stage's parallelism (r6): the packed cell structs are
+    # few MB, so AQE coalesces the groupBy output to ~1 partition — and the
+    # per-tile protobuf encode below is COMPUTE-bound Python, which then
+    # ran single-task (measured 1.5-2.4 s for 4k tiles at sf0.1).  An
+    # explicit cores-proportional repartition is exempt from AQE
+    # coalescing; the shuffled bytes are the same packed structs the
+    # groupBy just produced.
+    packed = packed.repartition(
+        cells.sparkSession.sparkContext.defaultParallelism, "_tx", "_ty")
 
     def kernel(tx, ty, cl):  # scalar pandas UDF (series in, series out)
         out = []
@@ -508,9 +517,16 @@ def write_mbtiles_df(tiles_df, path: str, metadata: dict | None = None) -> int:
     tile-join step.  At web scale the engine's native output stays the
     zoom-partitioned parquet/Iceberg table; an MBTiles is the last-mile
     artifact.  Returns the tile count."""
+    # few WIDE fetch units for the driver iterator (r6): toLocalIterator
+    # schedules one incremental job per partition, so iterating the
+    # encode stage's cores-proportional partitioning directly paid ~32
+    # sequential round-trips; one keyed exchange of the finished blobs
+    # re-packs them into 4 chunks (memory stays bounded at ~1/4 of the
+    # tile bytes) while the encode upstream keeps its parallelism.
     rows = ((int(r.z), int(r.x), (1 << int(r.z)) - 1 - int(r.y),
              sqlite3.Binary(bytes(r.data)))
-            for r in tiles_df.toLocalIterator(prefetchPartitions=True))
+            for r in tiles_df.repartition(4, "z", "x", "y")
+                             .toLocalIterator(prefetchPartitions=True))
     n = 0
     if os.path.exists(path):
         os.remove(path)
