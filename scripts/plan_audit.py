@@ -34,12 +34,14 @@ AUDITS = {
         "(the refine kernel) fed by the single joined stream — full-cell "
         "rows short-circuit INSIDE the kernel, so no double scan."),
     "minhash_dup_pairs": (
-        "LSH near-dup pairs. Look for: NO BroadcastExchange anywhere "
-        "(corpus-sized tables shuffle on id/bucket keys — "
-        "ShuffledHashJoin); the signature-agreement prefilter (a Filter "
-        "of +..CASE WHEN.. sums) BEFORE HashAggregate(distinct); "
-        "ReusedExchange where the candidate subtree feeds both the "
-        "semi-join id list and the refine join."),
+        "LSH near-dup pairs. Look for (r6 shape): NO BroadcastExchange "
+        "anywhere (corpus-sized tables shuffle on id keys — "
+        "ShuffledHashJoin); the FINAL plan is only the refine joins over "
+        "`Scan ExistingRDD` leaves — the signature table, candidate pair "
+        "list and semi-joined shingle sets are localCheckpointed seams, "
+        "so the scan+shingle+md5 pipeline runs once per seam instead of "
+        "the r5 plan's 22 parquet scans (the band self-join, prefilter "
+        "and distinct run inside the candidate seam's own job)."),
     "decontaminate_overlap": (
         "Train/eval k-gram overlap. Look for: shingle explode scan-side "
         "(Generate under the scan, narrow); ShuffledHashJoin on the "
@@ -47,10 +49,14 @@ AUDITS = {
         "broadcast; map-side partial count before the (train_id, eval_id) "
         "aggregation."),
     "knn_top10": (
-        "Exact kNN, both strategies. Look for: the ring-candidate join "
-        "plus window top-k; TakeOrderedAndProject (not a global sort) "
-        "where the query orders output; the brute twin broadcasts only "
-        "the tiny query table."),
+        "Exact kNN, both strategies. Look for (r6 shape): the "
+        "ring-candidate join feeding an ObjectHashAggregate top-k "
+        "(collect_list + array_sort + slice — no Sort+Window chain over "
+        "the candidate relation); the safety-radius prefilter as a "
+        "Filter (d2 < _bd2) in the join stage; the brute twin broadcasts "
+        "only the tiny query table and runs the salted two-phase "
+        "aggregation (two HashAggregate pairs, no per-query Window "
+        "sort)."),
 }
 
 

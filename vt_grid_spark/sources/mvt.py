@@ -398,10 +398,14 @@ def cells_to_mvt_tiles(cells, cell_z: int, k: int, layer: str = "cells",
     # per-tile protobuf encode below is COMPUTE-bound Python, which then
     # ran single-task (measured 1.5-2.4 s for 4k tiles at sf0.1).  An
     # explicit cores-proportional repartition is exempt from AQE
-    # coalescing; the shuffled bytes are the same packed structs the
-    # groupBy just produced.
+    # coalescing; it keys on a HASH of the tile key rather than the key
+    # itself so the optimizer can never drop it as redundant with the
+    # groupBy's own partitioning (it does when the partition counts
+    # happen to coincide, which would re-expose the coalesce).  The
+    # shuffled bytes are the same packed structs the groupBy produced.
     packed = packed.repartition(
-        cells.sparkSession.sparkContext.defaultParallelism, "_tx", "_ty")
+        cells.sparkSession.sparkContext.defaultParallelism,
+        F.xxhash64("_tx", "_ty"))
 
     def kernel(tx, ty, cl):  # scalar pandas UDF (series in, series out)
         out = []
