@@ -114,3 +114,20 @@ def test_cli_reducer_module_build(spark, tmp_path):
     assert main([src, "-o", out, "--basezoom", "6"]) == 2
     assert main([src, "-o", out, "--basezoom", "6", "--aggregations",
                  "pages:count()", "--reducer-module", f"{mod}:factory"]) == 2
+
+
+def test_cli_reducer_module_refuses_shadowing(tmp_path, capsys):
+    """r6 (ADVICE r5): a .py reducer file whose basename matches an
+    already-imported module (json.py shadowing the stdlib) must be
+    rejected with exit 2 instead of silently replacing the module in
+    sys.modules for later driver imports."""
+    from vt_grid_spark.__main__ import main
+
+    bad = tmp_path / "json.py"
+    bad.write_text("def factory():\n    return {}\n")
+    rc = main(["in.parquet", "-o", str(tmp_path / "out"),
+               "--reducer-module", f"{bad}:factory"])
+    assert rc == 2
+    assert "collides" in capsys.readouterr().err
+    import json as _json  # stdlib must be untouched
+    assert _json.dumps({"a": 1}) == '{"a": 1}'

@@ -121,6 +121,21 @@ def main(argv: list[str] | None = None) -> int:
                 import os
 
                 name = os.path.splitext(os.path.basename(mod_path))[0]
+                # refuse to shadow an existing module (r6, ADVICE r5): the
+                # module must keep its bare basename so executors can
+                # re-import it after addPyFile (cloudpickle references
+                # functions by module name), but silently replacing an
+                # already-resolvable module of the same name (a user file
+                # called json.py) would clobber it for later driver
+                # imports — error out instead.
+                existing = sys.modules.get(name)
+                if existing is not None and os.path.abspath(
+                        getattr(existing, "__file__", "") or ""
+                ) != os.path.abspath(mod_path):
+                    print(f"--reducer-module {mod_path!r}: basename {name!r} "
+                          "collides with an already-imported module; rename "
+                          "the reducer file", file=sys.stderr)
+                    return 2
                 spec = importlib.util.spec_from_file_location(name, mod_path)
                 module = importlib.util.module_from_spec(spec)
                 sys.modules[name] = module
