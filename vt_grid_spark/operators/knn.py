@@ -333,11 +333,22 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     if n_esc == 0:
         rest = None
     elif rering_steps > 0:
+        # re-evaluate the caller's broadcast gate with the EXACT residue
+        # (r6): once the escalation set shrinks under broadcast_threshold
+        # the next level's ring-cell relation is broadcast — the same
+        # driver-safety contract the top level applies (the small-|Q|
+        # path already broadcasts grown rings), and it sidesteps (x, y)
+        # join skew entirely because the persisted point table stays on
+        # its natural partitions (measured 44 s -> 6 s on a ring-7 level
+        # whose queries ring a 100k-point hot cell, and it drops both
+        # join exchanges on the quiet bench shape).
+        esc_small = small_q or (broadcast_threshold > 0
+                                and n_esc <= broadcast_threshold)
         rest = knn_cells(points, esc_q, k, z=z, ring=2 * ring + 1,
                          point_id=point_id, query_id=query_id,
                          broadcast_threshold=broadcast_threshold,
                          rering_steps=rering_steps - 1, stats=stats,
-                         _small_q=small_q, _persisted=track, _n_q=n_esc,
+                         _small_q=esc_small, _persisted=track, _n_q=n_esc,
                          _enc_p=enc_p)
     else:
         # brute tail reads the persisted encoded table too (it carries
