@@ -223,6 +223,29 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
         )
         .where((F.col("y") >= 0) & (F.col("y") < n_tiles))
     )
+    # CELL-level safety-radius prune (r6): a ring cell whose nearest
+    # possible point is already outside the query's safety radius can
+    # contribute no candidate that survives the row-level d2 < _bd2
+    # filter — drop the (query, cell) row before the join, so its points
+    # are never probed at all.  The bound is a strict LOWER bound on any
+    # contained point's d2: the lon term is the circular arc distance to
+    # the cell's lon interval (plain |dlon| >= circular, and a
+    # pole-clamped point's latitude lies beyond the cell's lat interval,
+    # so the interval distance under-estimates there too) — conservative
+    # under antimeridian wrap and clamping, therefore proven/escalation
+    # sets are byte-identical.  Typically kills the far-side ring cells
+    # (the radius is the distance to the NEAREST ring edge).
+    _cw = vf.tile_lon(F.col("x"), z)
+    _ce = vf.tile_lon(F.col("x") + F.lit(1), z)
+    _cn = vf.tile_lat(F.col("y"), z)
+    _cs = vf.tile_lat(F.col("y") + F.lit(1), z)
+    _dlon = F.when((F.col("_qlon") >= _cw) & (F.col("_qlon") <= _ce),
+                   F.lit(0.0)).otherwise(
+        F.least(F.pmod(_cw - F.col("_qlon"), F.lit(360.0)),
+                F.pmod(F.col("_qlon") - _ce, F.lit(360.0))))
+    _dlat = F.greatest(F.lit(0.0), _cs - F.col("_qlat"),
+                       F.col("_qlat") - _cn)
+    cells = cells.where(_dlon * _dlon + _dlat * _dlat < F.col("_bd2"))
 
     # size gate: limit(n+1).count() stops scanning past the threshold, so
     # the probe is O(threshold) regardless of |Q|; probed once at the top
