@@ -531,22 +531,28 @@ def simhash64(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
         F.expr("cast(conv(substring(_m, 1, 15), 16, 10) as bigint)").alias("_xl"),
         F.expr("cast(conv(substring(_m, 16, 1), 16, 10) as bigint)").alias("_xh"),
     )
+    # the 64 vote sums and the 64-term bit packing are built as generated
+    # SQL text (one F.expr each / per column) instead of ~700 nested
+    # Column constructor calls: each python-side constructor is a py4j
+    # round trip and the fold alone measured ~0.65 s of pure DRIVER time
+    # per simhash64 call.  The parsed trees are identical — `&` is
+    # bitwiseAND, the CASE mirrors when/otherwise (NULL votes fall to the
+    # ELSE 0 branch exactly like F.when), and the all-long literal sum
+    # matches the int+long promotion of the Column form (partial sums
+    # peak at 2^63-1, no overflow; A/B'd bit-identical at sf0.01).
     aggs = [
-        F.sum(F.shiftright("_xl", j).bitwiseAND(F.lit(1))).alias(f"o_{j}")
+        F.expr(f"sum(shiftright(_xl, {j}) & 1)").alias(f"o_{j}")
         for j in range(60)
     ] + [
-        F.sum(F.shiftright("_xh", j - 60).bitwiseAND(F.lit(1))).alias(f"o_{j}")
+        F.expr(f"sum(shiftright(_xh, {j - 60}) & 1)").alias(f"o_{j}")
         for j in range(60, 64)
     ] + [F.count(F.lit(1)).alias("_n")]
     v = xs.groupBy(id_col).agg(*aggs)
-    bits = None
-    for j in range(63):
-        term = F.when(2 * F.col(f"o_{j}") > F.col("_n"),
-                      F.lit(1 << j)).otherwise(F.lit(0))
-        bits = term if bits is None else (bits + term)
-    bits = bits + F.when(2 * F.col("o_63") > F.col("_n"),
-                         F.lit(-(1 << 63))).otherwise(F.lit(0))
-    return v.select(F.col(id_col), bits.cast("long").alias("simhash"))
+    terms = [f"(CASE WHEN 2 * o_{j} > _n THEN {1 << j}L ELSE 0L END)"
+             for j in range(63)]
+    terms.append(f"(CASE WHEN 2 * o_63 > _n THEN {-(1 << 63)}L ELSE 0L END)")
+    bits = F.expr("cast((" + " + ".join(terms) + ") AS long)")
+    return v.select(F.col(id_col), bits.alias("simhash"))
 
 
 def simhash_dup_pairs(df: DataFrame, text_col: str = "text",

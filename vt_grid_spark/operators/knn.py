@@ -38,10 +38,11 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from vt_grid_spark import functions as vf
+from vt_grid_spark.functions import sqltext as sq
 from vt_grid_spark.operators.encode import encode_points
 
 _INF = float("inf")
+_INF_SQL = "CAST('Infinity' AS DOUBLE)"
 
 
 def _d2(qlon, qlat, plon, plat):
@@ -89,8 +90,8 @@ def knn_bruteforce(points: DataFrame, queries: DataFrame, k: int,
     )
 
 
-def _ring_boundary_d2(z: int, ring: int):
-    """Column: squared safety radius for a query encoded at (_qx, _qy).
+def _ring_boundary_d2_sql(z: int, ring: int) -> str:
+    """SQL text: squared safety radius for a query encoded at (_qx, _qy).
 
     The ring guarantees every point whose cell lies outside it is at least
     ``min(edge distances)`` away in the plain-degree metric:
@@ -102,23 +103,30 @@ def _ring_boundary_d2(z: int, ring: int):
       * lat sides — distance to the ring's north / south edge; +inf when
         the ring is clamped at the top/bottom tile row (encode clamps
         out-of-range latitudes INTO those rows, so nothing exists beyond).
+
+    Emitted as ONE generated SQL string (the :mod:`sqltext` twins keep the
+    double arithmetic textually identical to the Column builders) instead
+    of ~20 nested Column constructors: each python-side constructor is a
+    py4j round trip, and this expression is rebuilt at every escalation
+    level of every knn_cells call — measured ~0.1 s of pure driver time
+    per level on this box.
     """
     n_tiles = 1 << z
     if 2 * ring + 1 >= n_tiles:
-        d_west = d_east = F.lit(_INF)
+        d_west = d_east = _INF_SQL
     else:
-        west = vf.tile_lon(F.col("_qx") - F.lit(ring), z)
-        east = vf.tile_lon(F.col("_qx") + F.lit(ring + 1), z)
-        d_west = F.pmod(F.col("_qlon") - west, F.lit(360.0))
-        d_east = F.pmod(east - F.col("_qlon"), F.lit(360.0))
-    nlat = vf.tile_lat(F.col("_qy") - F.lit(ring), z)
-    slat = vf.tile_lat(F.col("_qy") + F.lit(ring + 1), z)
-    d_north = F.when(F.col("_qy") - F.lit(ring) <= 0, F.lit(_INF)) \
-               .otherwise(nlat - F.col("_qlat"))
-    d_south = F.when(F.col("_qy") + F.lit(ring) >= n_tiles - 1, F.lit(_INF)) \
-               .otherwise(F.col("_qlat") - slat)
-    b = F.least(d_west, d_east, d_north, d_south)
-    return b * b
+        west = sq.tile_lon_sql(f"(_qx - {ring})", z)
+        east = sq.tile_lon_sql(f"(_qx + {ring + 1})", z)
+        d_west = f"pmod(_qlon - {west}, 360.0D)"
+        d_east = f"pmod({east} - _qlon, 360.0D)"
+    nlat = sq.tile_lat_sql(f"(_qy - {ring})", z)
+    slat = sq.tile_lat_sql(f"(_qy + {ring + 1})", z)
+    d_north = (f"(CASE WHEN _qy - {ring} <= 0 THEN {_INF_SQL} "
+               f"ELSE {nlat} - _qlat END)")
+    d_south = (f"(CASE WHEN _qy + {ring} >= {n_tiles - 1} THEN {_INF_SQL} "
+               f"ELSE _qlat - {slat} END)")
+    b = f"least({d_west}, {d_east}, {d_north}, {d_south})"
+    return f"({b}) * ({b})"
 
 
 def unpersist_knn(df: DataFrame, blocking: bool = False) -> None:
@@ -192,11 +200,9 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     else:
         enc_p = _enc_p
 
-    q = encode_points(queries, z, with_quadkey=False).select(
-        F.col(query_id),
-        F.col("lon").alias("_qlon"), F.col("lat").alias("_qlat"),
-        F.col("x").alias("_qx"), F.col("y").alias("_qy"),
-    ).withColumn("_bd2", _ring_boundary_d2(z, ring))
+    q = encode_points(queries, z, with_quadkey=False).selectExpr(
+        query_id, "lon AS _qlon", "lat AS _qlat", "x AS _qx", "y AS _qy",
+    ).withColumn("_bd2", F.expr(_ring_boundary_d2_sql(z, ring)))
 
     # (query, ring-cell) candidate relation — explode over the (2r+1)^2
     # neighbor offsets, x wrapping, y clamped (tilemath.neighbors semantics).
@@ -210,18 +216,23 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
         dxs = range(n_tiles)
     else:
         dxs = range(-ring, ring + 1)
-    offsets = F.array(*[
-        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
-        for dx in dxs for dy in range(-ring, ring + 1)
-    ])
+    # one F.expr over a generated SQL literal instead of (2r+1)^2 nested
+    # F.struct(F.lit, F.lit) calls: each python-side constructor is a py4j
+    # round trip, and at the 1->3->7 escalation ladder the three offset
+    # arrays alone cost ~1.2 s of pure DRIVER time per knn_cells call
+    # (225 structs at ring 7); the parsed expression tree is identical
+    # (int literals, same field names — equality tested element-wise).
+    offsets = "array(" + ",".join(
+        f"struct({dx} as dx,{dy} as dy)"
+        for dx in dxs for dy in range(-ring, ring + 1)) + ")"
     cells = (
-        q.select("*", F.explode(offsets).alias("_o"))
-        .select(
+        q.selectExpr("*", f"explode({offsets}) AS _o")
+        .selectExpr(
             query_id, "_qlon", "_qlat", "_bd2",
-            F.pmod(F.col("_qx") + F.col("_o.dx"), F.lit(n_tiles)).alias("x"),
-            (F.col("_qy") + F.col("_o.dy")).alias("y"),
+            f"pmod(_qx + _o.dx, {n_tiles}) AS x",
+            "_qy + _o.dy AS y",
         )
-        .where((F.col("y") >= 0) & (F.col("y") < n_tiles))
+        .where(f"y >= 0 AND y < {n_tiles}")
     )
     # CELL-level safety-radius prune (r6): a ring cell whose nearest
     # possible point is already outside the query's safety radius can
@@ -235,17 +246,16 @@ def knn_cells(points: DataFrame, queries: DataFrame, k: int, z: int = 7,
     # under antimeridian wrap and clamping, therefore proven/escalation
     # sets are byte-identical.  Typically kills the far-side ring cells
     # (the radius is the distance to the NEAREST ring edge).
-    _cw = vf.tile_lon(F.col("x"), z)
-    _ce = vf.tile_lon(F.col("x") + F.lit(1), z)
-    _cn = vf.tile_lat(F.col("y"), z)
-    _cs = vf.tile_lat(F.col("y") + F.lit(1), z)
-    _dlon = F.when((F.col("_qlon") >= _cw) & (F.col("_qlon") <= _ce),
-                   F.lit(0.0)).otherwise(
-        F.least(F.pmod(_cw - F.col("_qlon"), F.lit(360.0)),
-                F.pmod(F.col("_qlon") - _ce, F.lit(360.0))))
-    _dlat = F.greatest(F.lit(0.0), _cs - F.col("_qlat"),
-                       F.col("_qlat") - _cn)
-    cells = cells.where(_dlon * _dlon + _dlat * _dlat < F.col("_bd2"))
+    _cw = sq.tile_lon_sql("x", z)
+    _ce = sq.tile_lon_sql("(x + 1)", z)
+    _cn = sq.tile_lat_sql("y", z)
+    _cs = sq.tile_lat_sql("(y + 1)", z)
+    _dlon = (f"(CASE WHEN _qlon >= {_cw} AND _qlon <= {_ce} THEN 0.0D "
+             f"ELSE least(pmod({_cw} - _qlon, 360.0D), "
+             f"pmod(_qlon - {_ce}, 360.0D)) END)")
+    _dlat = f"greatest(0.0D, {_cs} - _qlat, _qlat - {_cn})"
+    cells = cells.where(
+        f"({_dlon}) * ({_dlon}) + ({_dlat}) * ({_dlat}) < _bd2")
 
     # size gate: limit(n+1).count() stops scanning past the threshold, so
     # the probe is O(threshold) regardless of |Q|; probed once at the top
