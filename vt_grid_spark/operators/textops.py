@@ -60,7 +60,8 @@ def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     numerators so ratios round identically everywhere."""
     toks = tokens_col(text_col)
     ws = ws_tokens_col(text_col)
-    stop_list = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_list = F.expr(  # one parse vs 40 py4j constructor calls
+        "array(" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + ")")
     stop_hits = F.size(F.filter(ws, lambda t: F.array_contains(stop_list, t)))
     n_punct = F.size(F.filter(toks, lambda t: t.rlike("^[^A-Za-z0-9]$")))
     n_tokens = F.size(toks)
@@ -91,7 +92,8 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
                   lambda t: t != F.lit(""))
     out = df
     for lang, words in STOPWORDS.items():
-        lst = F.array(*[F.lit(w) for w in words])
+        lst = F.expr(  # one parse vs 40 py4j constructor calls
+            "array(" + ",".join(f"'{w}'" for w in words) + ")")
         out = out.withColumn(
             f"hits_{lang}",
             F.size(F.filter(ws, lambda t: F.array_contains(lst, t))).cast("long"))
@@ -157,7 +159,8 @@ def with_gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
     dup_line_frac = F.round(
         (n_lines - F.size(F.array_distinct(lines))).cast("double") / nl, 6)
 
-    stop_list = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    stop_list = F.expr(  # one parse vs 40 py4j constructor calls
+        "array(" + ",".join(f"'{w}'" for w in STOPWORDS["en"]) + ")")
     stop_hits = F.size(F.filter(ws, lambda t: F.array_contains(stop_list, t)))
 
     sentences = F.filter(F.transform(F.split(text, "[.!?]"), F.trim),
