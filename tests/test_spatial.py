@@ -265,3 +265,24 @@ def test_knn_cells_unpersist_releases_cache(spark):
     unpersist_knn(out, blocking=True)
     assert all(not (f.storageLevel.useMemory or f.storageLevel.useDisk)
                for f in frames)
+
+
+def test_knn_cells_non_identifier_query_id(spark):
+    """The generated-SQL rewrite must keep F.col's literal name
+    resolution: a hyphenated query_id column (valid before the rewrite)
+    must neither mis-parse as subtraction nor throw, and both strategies
+    must agree on it."""
+    pts = spark.range(200).selectExpr(
+        "concat('p', id) AS url",
+        "cast(id % 20 as double) * 1.7 - 17.0 AS lon",
+        "cast(id % 10 as double) * 3.1 - 15.0 AS lat")
+    qs = spark.range(3).selectExpr(
+        "concat('q', id) AS `q-id`",
+        "cast(id as double) * 2.0 - 2.0 AS lon",
+        "cast(id as double) * 1.5 - 1.0 AS lat")
+    cells = knn_cells(pts, qs, 3, z=4, ring=1, query_id="q-id") \
+        .orderBy("q-id", "rank").collect()
+    brute = knn_bruteforce(pts, qs, 3, query_id="q-id") \
+        .orderBy("q-id", "rank").collect()
+    assert len(cells) == 9
+    assert cells == brute

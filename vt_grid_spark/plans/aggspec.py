@@ -134,6 +134,13 @@ class CompiledAggs:
     post: dict[str, Callable[[], Column]] = field(default_factory=dict)
 
 
+def _bq(name: str) -> str:
+    """Backtick-quote a column name for generated SQL text: keeps the
+    literal-resolution contract ``F.col(name)`` had (a field named like a
+    niladic function or containing a hyphen must stay a column ref)."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _w(spec: AggSpec) -> Column:
     return F.col(spec.weight) if spec.weight else F.lit(1.0)
 
@@ -186,7 +193,7 @@ def compile_aggs(specs: list[AggSpec]) -> list[Column]:
             # repr() round-trips the width double, so bucketing is
             # bit-identical (oracle + merge-proof tests green).
             b = (f"cast(least({s.buckets - 1}, greatest(0, "
-                 f"floor({s.field} / {s.width!r}D))) as int)")
+                 f"floor({_bq(s.field)} / {s.width!r}D))) as int)")
             out.append(F.expr("array(" + ",".join(
                 f"sum(cast(CASE WHEN {b} = {i} THEN 1 ELSE 0 END as long))"
                 for i in range(s.buckets)) + ")").alias(s.out))
@@ -230,7 +237,7 @@ def compile_rollup_aggs(specs: list[AggSpec]) -> list[Column]:
             # merge; generated SQL text for the same py4j-latency reason
             # as the base-level compile (one F.expr vs 4/bucket)
             out.append(F.expr("array(" + ",".join(
-                f"sum(element_at({s.out}, {i + 1}))"
+                f"sum(element_at({_bq(s.out)}, {i + 1}))"
                 for i in range(s.buckets)) + ")").alias(s.out))
     return out
 
