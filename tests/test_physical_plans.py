@@ -281,3 +281,27 @@ def test_mvt_tile_encode_parallelism_pinned(spark):
     # coalescing), between the groupBy and the Python encode
     assert "REPARTITION_BY_NUM" in p or "REPARTITION_BY_COL" in p, p
     assert tiles.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+
+
+def test_zorder_clustered_write_plan_gate(spark, tmp_path):
+    """VERDICT r5 #4: the clustered level write must plan exactly ONE
+    RangePartitioning exchange keyed on the morton column, with the
+    explicit partition count pinned (REPARTITION_BY_NUM — exempt from
+    AQE coalescing), and that count must survive to the files on disk
+    even for a tiny level (the documented coalesce gotcha)."""
+    import re
+
+    from vt_grid_spark.sources.table_io import TableIO, zorder_clustered
+
+    cells = spark.range(2_000).selectExpr(
+        "id % 64 AS x", "(id * 7) % 64 AS y", "id AS v")
+    p = plan_str(zorder_clustered(cells, 8), "simple")
+    ranges = re.findall(r"Exchange rangepartitioning\(([^)]*)\)", p)
+    assert len(ranges) == 1, p
+    assert "_mz" in ranges[0] and " 8" in ranges[0], ranges
+    assert "REPARTITION_BY_NUM" in p, p
+    # end-to-end: the pinned count reaches the parquet layout
+    io = TableIO(str(tmp_path))
+    m = io.write_level(cells, 6, cluster=True, cluster_partitions=8)
+    assert m["clustered"] is True
+    assert len(m["files"]) == 8, m["files"]

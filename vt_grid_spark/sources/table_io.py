@@ -29,6 +29,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def zorder_clustered(df: DataFrame, n_parts: int) -> DataFrame:
+    """The Z-order clustering transform ``write_level(cluster=True)``
+    writes through: range-partition + sort by the Morton code of (x, y)
+    with an EXPLICIT partition count (``repartitionByRange(n, ...)``
+    plans a REPARTITION_BY_NUM exchange, which AQE's coalescer must
+    honor — an unsized range exchange on a small level coalesces to ~2
+    world-spanning files that cluster nothing).  Factored out so the
+    plan gate in tests/test_physical_plans.py asserts the exact
+    production plan: one RangePartitioning exchange on the morton
+    column, pinned partition count."""
+    from vt_grid_spark import functions as vf
+
+    return (df.withColumn("_mz", vf.morton(F.col("x"), F.col("y")))
+            .repartitionByRange(n_parts, "_mz")
+            .sortWithinPartitions("_mz")
+            .drop("_mz"))
+
+
 class TableIO:
     def __init__(self, root: str):
         self.root = root
@@ -75,14 +93,9 @@ class TableIO:
         path = self.level_path(zoom)
         out = df.drop("zoom") if "zoom" in df.columns else df
         if cluster:
-            from vt_grid_spark import functions as vf
-
             n_parts = cluster_partitions or int(
                 df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
-            out = (out.withColumn("_mz", vf.morton(F.col("x"), F.col("y")))
-                   .repartitionByRange(n_parts, "_mz")
-                   .sortWithinPartitions("_mz")
-                   .drop("_mz"))
+            out = zorder_clustered(out, n_parts)
         if stage:
             import shutil
 
